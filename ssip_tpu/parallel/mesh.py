@@ -1,0 +1,92 @@
+"""Mesh bootstrap + sharding utilities.
+
+The reference is single-device (reference: src/training/common.py:55 — a lone
+``torch.device``); parallelism here is new TPU-native capability. The design
+is the standard JAX recipe: build one ``jax.sharding.Mesh`` with a ``data``
+axis (batch/data parallelism — gradients reduced by XLA-inserted collectives
+over ICI) and a ``model`` axis (optional tensor parallelism for wide layers),
+annotate arrays with ``NamedSharding``, and let ``jit`` partition the program.
+
+Nothing in this module talks to a specific backend: on TPU the axes map to
+real chips over ICI; in tests the same code runs on a virtual 8-device CPU
+mesh (``xla_force_host_platform_device_count``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    """Logical mesh shape. ``data * model`` must equal the device count used."""
+
+    data: int
+    model: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+def build_mesh(
+    spec: Optional[MeshSpec] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D ``(data, model)`` mesh.
+
+    Defaults to all available devices on the data axis (pure DP) — the right
+    default for ResNet-18 scale models where the weights fit comfortably in
+    one chip's HBM and the batch axis is the only profitable sharding.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if spec is None:
+        spec = MeshSpec(data=len(devices), model=1)
+    if spec.num_devices > len(devices):
+        raise ValueError(
+            f"MeshSpec {spec} needs {spec.num_devices} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[: spec.num_devices]).reshape(spec.data, spec.model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis; replicate rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    """Smallest padded size >= n divisible by ``multiple``."""
+    if multiple <= 0:
+        raise ValueError("multiple must be positive")
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def shard_batch(
+    mesh: Mesh, array: np.ndarray, pad_value: float | int = 0
+) -> tuple[jax.Array, int]:
+    """Device-put a host batch sharded over the data axis.
+
+    Pads the leading axis up to a multiple of the data-axis size (static
+    shapes keep XLA happy; callers mask out the padding) and returns
+    ``(sharded_array, original_length)``.
+    """
+    data_size = mesh.shape[DATA_AXIS]
+    n = array.shape[0]
+    padded = pad_to_multiple(max(n, 1), data_size)
+    if padded != n:
+        pad_width = [(0, padded - n)] + [(0, 0)] * (array.ndim - 1)
+        array = np.pad(array, pad_width, constant_values=pad_value)
+    return jax.device_put(array, batch_sharding(mesh)), n
