@@ -1,0 +1,175 @@
+"""Torch→Flax weight porting for the ResNet family.
+
+The north-star parity target requires embeddings from ported torchvision
+weights to match the reference bitwise-close (BASELINE.md). This module maps
+a torchvision-style ``state_dict`` (names like ``conv1.weight``,
+``layer2.0.downsample.0.weight``, ``fc.bias``; see torchvision's resnet
+checkpoint layout) onto the variable tree of :class:`ssip_tpu.models.ResNet`.
+
+Layout conversions:
+  - conv kernels  OIHW → HWIO  (transpose 2,3,1,0)
+  - dense kernels [out,in] → [in,out]
+  - BN weight/bias → scale/bias; running_mean/var → batch_stats
+
+No torch import is required to port: callers pass numpy arrays. A torch
+``state_dict`` helper is provided for convenience when torch is installed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import numpy as np
+
+ArrayDict = Dict[str, np.ndarray]
+
+
+def _block_module_name(stage: int, block: int) -> str:
+    return f"layer{stage}_{block}"
+
+
+def torch_key_to_flax(key: str) -> Optional[tuple[str, tuple[str, ...], str]]:
+    """Map one torch state_dict key to (collection, module-path, param-name).
+
+    Returns None for keys that have no Flax counterpart
+    (``num_batches_tracked``).
+    """
+    if key.endswith("num_batches_tracked"):
+        return None
+
+    m = re.match(r"^layer(\d+)\.(\d+)\.(.+)$", key)
+    if m:
+        stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        mod = _block_module_name(stage, block)
+        if rest.startswith("downsample.0."):
+            sub, leaf = "downsample_conv", rest.split(".")[-1]
+        elif rest.startswith("downsample.1."):
+            sub, leaf = "downsample_bn", rest.split(".")[-1]
+        else:
+            sub, leaf = rest.split(".", 1)
+        is_bn = "bn" in sub
+        return (_leaf_collection(leaf, is_bn), (mod, sub), _leaf_to_flax(leaf, is_bn))
+
+    head, leaf = key.split(".", 1)
+    if head in ("conv1", "fc"):
+        return (_leaf_collection(leaf, is_bn=False), (head,), _leaf_to_flax(leaf, is_bn=False))
+    if head == "bn1":
+        return (_leaf_collection(leaf, is_bn=True), (head,), _leaf_to_flax(leaf, is_bn=True))
+    raise KeyError(f"Unrecognized torch parameter key: {key}")
+
+
+def _leaf_to_flax(leaf: str, is_bn: bool) -> str:
+    if is_bn:
+        return {
+            "weight": "scale",
+            "bias": "bias",
+            "running_mean": "mean",
+            "running_var": "var",
+        }[leaf]
+    return {"weight": "kernel", "bias": "bias"}[leaf]
+
+
+def _leaf_collection(leaf: str, is_bn: bool) -> str:
+    if is_bn and leaf in ("running_mean", "running_var"):
+        return "batch_stats"
+    return "params"
+
+
+def _convert_value(key: str, value: np.ndarray) -> np.ndarray:
+    value = np.asarray(value)
+    if key.endswith("weight") and value.ndim == 4:  # conv OIHW → HWIO
+        return np.transpose(value, (2, 3, 1, 0))
+    if key == "fc.weight":  # dense [out, in] → [in, out]
+        return np.transpose(value, (1, 0))
+    return value
+
+
+def port_state_dict(
+    state_dict: Mapping[str, Any], include_fc: bool = True
+) -> Dict[str, Dict]:
+    """Build ``{"params": ..., "batch_stats": ...}`` from a torch state_dict.
+
+    ``include_fc=False`` drops the classification head — the frozen-extractor
+    configuration (reference feature_extraction.py:210-227 strips ``fc``).
+    """
+    variables: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+    for key, raw in state_dict.items():
+        if not include_fc and key.startswith("fc."):
+            continue
+        mapped = torch_key_to_flax(key)
+        if mapped is None:
+            continue
+        collection, path, leaf = mapped
+        value = _convert_value(key, _to_numpy(raw))
+        node = variables[collection]
+        for part in path:
+            node = node.setdefault(part, {})
+        node[leaf] = value
+    return variables
+
+
+def _to_numpy(value: Any) -> np.ndarray:
+    if hasattr(value, "detach"):  # torch tensor without importing torch
+        value = value.detach().cpu().numpy()
+    return np.asarray(value, dtype=np.float32)
+
+
+def load_torch_checkpoint(path: str, include_fc: bool = True) -> Dict[str, Dict]:
+    """Port a ``.pt``/``.pth`` torch checkpoint file (requires torch)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return port_state_dict(state, include_fc=include_fc)
+
+
+def export_state_dict(variables: Mapping[str, Any]) -> ArrayDict:
+    """Inverse port: Flax variable tree → torchvision-style state_dict arrays.
+
+    Used to persist checkpoints at the reference's ``.pt`` artifact paths in
+    a torch-loadable layout (values stay numpy; caller may torch.save them).
+    """
+    out: ArrayDict = {}
+
+    def walk(node: Mapping[str, Any], prefix: tuple[str, ...], collection: str):
+        for name, value in node.items():
+            if isinstance(value, Mapping):
+                walk(value, prefix + (name,), collection)
+            else:
+                out_key = _flax_path_to_torch(prefix + (name,), collection)
+                arr = np.asarray(value, dtype=np.float32)
+                if out_key.endswith("weight") and arr.ndim == 4:
+                    arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO → OIHW
+                elif out_key == "fc.weight":
+                    arr = np.transpose(arr, (1, 0))
+                out[out_key] = arr
+
+    walk(variables.get("params", {}), (), "params")
+    walk(variables.get("batch_stats", {}), (), "batch_stats")
+    return out
+
+
+def _flax_path_to_torch(path: Sequence[str], collection: str) -> str:
+    *mods, leaf = path
+    leaf_map_bn = {"scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
+    leaf_map = {"kernel": "weight", "bias": "bias"}
+
+    parts = []
+    is_bn = False
+    for mod in mods:
+        m = re.match(r"^layer(\d+)_(\d+)$", mod)
+        if m:
+            parts.append(f"layer{m.group(1)}.{m.group(2)}")
+        elif mod == "downsample_conv":
+            parts.append("downsample.0")
+        elif mod == "downsample_bn":
+            parts.append("downsample.1")
+            is_bn = True
+        else:
+            parts.append(mod)
+            if mod.startswith("bn"):
+                is_bn = True
+    torch_leaf = leaf_map_bn[leaf] if (is_bn or leaf in ("scale", "mean", "var")) else leaf_map[leaf]
+    return ".".join(parts + [torch_leaf])

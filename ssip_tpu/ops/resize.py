@@ -1,0 +1,135 @@
+"""PIL-compatible antialiased bilinear resize as MXU matmuls.
+
+The reference's preprocessing chains run through PIL/torchvision on the host
+(extraction: Resize(256) → CenterCrop(224), reference
+src/feature_extraction.py:184-207; training: Resize((224,224)), reference
+src/training/common.py:96-119). On TPU we re-express the resample as two
+dense matrix products — separable triangle-filter weights contracted against
+the H and W axes — which XLA maps straight onto the MXU and fuses with the
+normalization epilogue.
+
+Parity notes (validated empirically in tests/test_preprocess.py):
+  - PIL resamples horizontally then vertically, clipping the intermediate to
+    uint8 per pass; ``quantize=True`` emulates that, making the 512→256
+    extraction resize *bitwise identical* to PIL.
+  - PIL quantizes filter coefficients to fixed point; with float32 weights
+    the 512→224 training resize differs by ≤1 LSB on <1% of pixels —
+    far inside the ±0.01-metric parity budget.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@lru_cache(maxsize=64)
+def triangle_weights(src: int, dst: int) -> np.ndarray:
+    """[dst, src] PIL-bilinear (triangle, antialiased) resample matrix."""
+    scale = src / dst
+    filterscale = max(scale, 1.0)
+    support = filterscale  # bilinear filter support is 1.0 * filterscale
+    weights = np.zeros((dst, src), np.float32)
+    for i in range(dst):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), src)
+        js = np.arange(lo, hi)
+        x = (js + 0.5 - center) / filterscale
+        w = np.clip(1.0 - np.abs(x), 0.0, None)
+        weights[i, lo:hi] = (w / w.sum()).astype(np.float32)
+    return weights
+
+
+def _quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """PIL's per-pass clip8: round-half-up then clamp to [0, 255]."""
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+
+
+def resize_bilinear(
+    images: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    quantize: bool = True,
+    row_slice: slice | None = None,
+    col_slice: slice | None = None,
+) -> jnp.ndarray:
+    """Antialiased bilinear resize of NHWC images (float32 result, 0..255).
+
+    ``row_slice``/``col_slice`` crop the *output* grid by slicing the weight
+    matrices — a free fused center-crop (only the kept pixels are computed).
+    """
+    h, w = images.shape[-3], images.shape[-2]
+    wh = jnp.asarray(triangle_weights(w, out_w))
+    wv = jnp.asarray(triangle_weights(h, out_h))
+    if row_slice is not None:
+        wv = wv[row_slice]
+    if col_slice is not None:
+        wh = wh[col_slice]
+
+    x = images.astype(jnp.float32)
+    # horizontal pass (W axis), then vertical (H axis) — PIL's order.
+    x = jnp.einsum("...hwc,Ww->...hWc", x, wh)
+    if quantize:
+        x = _quantize_u8(x)
+    x = jnp.einsum("...hwc,Hh->...Hwc", x, wv)
+    if quantize:
+        x = _quantize_u8(x)
+    return x
+
+
+def center_crop_bounds(size: int, crop: int) -> slice:
+    """torchvision CenterCrop offset: round((size - crop) / 2)."""
+    off = int(round((size - crop) / 2.0))
+    return slice(off, off + crop)
+
+
+def normalize_imagenet(x01: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(x - mean) / std on [0,1] NHWC input."""
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
+    return ((x01 - mean) / std).astype(dtype)
+
+
+def extraction_preprocess(
+    images_u8: jnp.ndarray,
+    resize: int = 256,
+    crop: int = 224,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Deterministic extraction chain: Resize(short-side) → CenterCrop →
+    ToTensor → ImageNet-normalize, fused on device.
+
+    Semantics: reference feature_extraction.py:184-207 (and its *no RGB
+    conversion* policy — callers feed already-RGB uint8; see
+    data/decode.py for the channel policy).
+    """
+    h, w = images_u8.shape[-3], images_u8.shape[-2]
+    # torchvision Resize(n) scales the SHORT side to n, preserving aspect.
+    if h <= w:
+        out_h, out_w = resize, max(1, round(w * resize / h))
+    else:
+        out_h, out_w = max(1, round(h * resize / w)), resize
+    x = resize_bilinear(
+        images_u8,
+        out_h,
+        out_w,
+        quantize=True,
+        row_slice=center_crop_bounds(out_h, crop),
+        col_slice=center_crop_bounds(out_w, crop),
+    )
+    return normalize_imagenet(x / 255.0, dtype=dtype)
+
+
+def training_resize(images_u8: jnp.ndarray, image_size: int = 224) -> jnp.ndarray:
+    """Training chain's Resize((size, size)) — returns uint8-valued f32.
+
+    Augmentations (flip/rotate) operate on this, then normalize.
+    Semantics: reference common.py:96-119.
+    """
+    return resize_bilinear(images_u8, image_size, image_size, quantize=True)
