@@ -1,0 +1,59 @@
+"""CLI: frozen ResNet-18 512-D feature extraction (TPU-native).
+
+Flag surface parity: reference docs/cli_reference.md §src.feature_extraction
+(--data-dir, --device, --batch-size, --verbose) plus TPU-native extras
+(--weights, --compute-dtype, --output-dir) that default to reference behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--data-dir", type=Path, default=Path("mri_dataset_brain_cancer_oc")
+    )
+    parser.add_argument("--device", type=str, default="auto")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--output-dir", type=Path, default=Path("outputs"))
+    parser.add_argument(
+        "--weights",
+        type=Path,
+        default=None,
+        help="torch ResNet-18 state_dict (.pt/.pth) to port; default: "
+        "$SSIP_RESNET18_WEIGHTS or seeded random init",
+    )
+    parser.add_argument(
+        "--compute-dtype", choices=["float32", "bfloat16"], default="float32"
+    )
+    parser.add_argument("--no-cache", action="store_true", help="skip decode cache")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg = ExtractionConfig(
+        data_dir=args.data_dir,
+        output_dir=args.output_dir,
+        batch_size=args.batch_size,
+        device=args.device,
+        verbose=args.verbose,
+        weights=args.weights,
+        compute_dtype=args.compute_dtype,
+        cache_decoded=not args.no_cache,
+    )
+    summary = run_extraction(cfg)
+    print(
+        f"Extracted {summary.embeddings.shape[0]} embeddings "
+        f"({summary.embeddings.shape[1]}-D) in {summary.total_seconds:.2f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""CLI: supervised ResNet-18 baseline (TPU-native).
+
+Flag parity: reference docs/cli_reference.md §src.supervised_training.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+from ssip_tpu.pipelines.supervised import run_supervised
+from ssip_tpu.pipelines.train_config import TrainingConfig
+
+
+def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--val-split", type=float, default=0.2)
+    parser.add_argument("--test-split", type=float, default=0.2)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--num-workers", type=int, default=2)
+    parser.add_argument("--baseline-epochs", type=int, default=10)
+    parser.add_argument("--learning-rate", type=float, default=1e-4)
+    parser.add_argument("--weight-decay", type=float, default=1e-4)
+    parser.add_argument("--early-stopping", type=int, default=3)
+    parser.add_argument("--positive-class", type=str, default="cancer")
+    parser.add_argument("--target-recall", type=float, default=None)
+    parser.add_argument("--min-precision", type=float, default=None)
+    parser.add_argument("--max-fpr", type=float, default=None)
+    parser.add_argument("--f-beta", type=float, default=2.0)
+    parser.add_argument("--device", type=str, default="auto")
+    parser.add_argument("--output-dir", type=Path, default=Path("outputs"))
+    parser.add_argument(
+        "--pretrained-weights", type=Path, default=None,
+        help="torch resnet18 state_dict to port as the backbone init",
+    )
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--strong-data-dir", type=Path, required=True)
+    add_common_training_flags(parser)
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> None:  # pragma: no cover - thin shim
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+    config = config_from_args(args)
+    results = run_supervised(config)
+    print(results)
+
+
+def config_from_args(args: argparse.Namespace) -> TrainingConfig:
+    return TrainingConfig(
+        strong_data_dir=args.strong_data_dir,
+        weak_data_dir=getattr(args, "weak_data_dir", None),
+        batch_size=args.batch_size,
+        val_split=args.val_split,
+        test_split=args.test_split,
+        seed=args.seed,
+        image_size=args.image_size,
+        num_workers=args.num_workers,
+        device=args.device,
+        positive_class=args.positive_class,
+        target_recall=args.target_recall,
+        min_precision=args.min_precision,
+        max_fpr=args.max_fpr,
+        f_beta=args.f_beta,
+        baseline_epochs=args.baseline_epochs,
+        weak_pretrain_epochs=getattr(args, "weak_pretrain_epochs", 5),
+        finetune_epochs=getattr(args, "finetune_epochs", 8),
+        pseudo_label_threshold=getattr(args, "pseudo_threshold", 0.7),
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        early_stopping_patience=args.early_stopping,
+        output_dir=args.output_dir,
+        unlabeled_cohort_csv=getattr(args, "unlabeled_cohort_csv", None),
+        pretrained_weights=args.pretrained_weights,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""DBSCAN with device-side neighborhood computation.
+
+TPU-native replacement for sklearn DBSCAN (reference clustering.py:376-428):
+the O(N²) radius-neighbor query — the actual compute — runs as one jnp
+pairwise-distance matrix on device; the (cheap, inherently sequential)
+cluster expansion is a host BFS in index order, reproducing sklearn's
+labeling semantics: core points (≥ min_samples neighbors incl. self) seed
+clusters in index order; border points join the first core cluster that
+reaches them; everything else is noise (-1).
+
+Also provides the k-distance curve for the reference's ``--dbscan-auto``
+eps selection (98th-percentile quantile, reference clustering.py:430-438).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class DBSCANResult:
+    labels: np.ndarray  # [N] cluster ids, -1 = noise
+    core_mask: np.ndarray  # [N] bool
+    n_clusters: int
+    noise_rate: float
+
+
+@jax.jit
+def _pairwise_d2(x: jnp.ndarray) -> jnp.ndarray:
+    sq = jnp.sum(x * x, axis=1)
+    return jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
+
+
+def dbscan(X: np.ndarray, eps: float, min_samples: int) -> DBSCANResult:
+    x = jnp.asarray(np.asarray(X, np.float32))
+    d2 = np.asarray(_pairwise_d2(x))
+    adjacency = d2 <= float(eps) ** 2  # includes self
+    neighbor_counts = adjacency.sum(axis=1)
+    core = neighbor_counts >= min_samples
+
+    n = len(core)
+    labels = np.full(n, -1, np.int64)
+    cluster = 0
+    for i in range(n):
+        if not core[i] or labels[i] != -1:
+            continue
+        labels[i] = cluster
+        queue = deque([i])
+        while queue:
+            j = queue.popleft()
+            if not core[j]:
+                continue
+            for nb in np.nonzero(adjacency[j])[0]:
+                if labels[nb] == -1:
+                    labels[nb] = cluster
+                    if core[nb]:
+                        queue.append(nb)
+        cluster += 1
+
+    noise_rate = float((labels == -1).mean()) if n else 0.0
+    return DBSCANResult(
+        labels=labels, core_mask=core, n_clusters=cluster, noise_rate=noise_rate
+    )
+
+
+def k_distance_curve(X: np.ndarray, k: int) -> np.ndarray:
+    """Sorted distance to the k-th nearest neighbor (self excluded)."""
+    x = jnp.asarray(np.asarray(X, np.float32))
+    d2 = _pairwise_d2(x)
+    d2 = d2.at[jnp.arange(d2.shape[0]), jnp.arange(d2.shape[0])].set(jnp.inf)
+    kth = jnp.sort(d2, axis=1)[:, k - 1]
+    return np.sort(np.sqrt(np.asarray(kth)))
+
+
+def auto_eps_from_kdistance(
+    X: np.ndarray, min_samples: int, quantile: float = 0.98
+) -> float:
+    """eps at the given quantile of the k-distance curve (k = min_samples).
+
+    Semantics: reference clustering.py:430-438.
+    """
+    curve = k_distance_curve(X, max(min_samples, 1))
+    return float(np.quantile(curve, quantile))

@@ -25,7 +25,9 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 # torchvision BasicBlock stage widths for resnet18/34.
 RESNET18_STAGES: tuple[int, ...] = (2, 2, 2, 2)
@@ -38,6 +40,69 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.9
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm2d with torch-exact semantics and optional batch-row masking.
+
+    Differences from ``nn.BatchNorm`` that matter here:
+      - an optional per-row ``mask`` excludes padded batch rows from the
+        batch statistics (static batch shapes require padding the final
+        partial batch; torch computes BN over exactly the valid rows);
+      - the running-variance update uses the *unbiased* batch variance while
+        normalization uses the biased one — torch.nn.BatchNorm2d's behavior.
+
+    Parameter/collection names match ``nn.BatchNorm`` (params.scale/.bias,
+    batch_stats.mean/.var) so torch porting and checkpoints are unaffected.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool, mask=None):
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))  # all but channel
+            if mask is None:
+                count = jnp.asarray(np.prod(x.shape[:-1]), jnp.float32)
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            else:
+                w = mask.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1)
+                )  # [B,1,1,1]
+                per_row = float(np.prod(x.shape[1:-1]))  # H*W
+                count = jnp.maximum(jnp.sum(w) * per_row, 1.0)
+                s1 = jnp.sum(xf * w, axis=reduce_axes)
+                s2 = jnp.sum(jnp.square(xf) * w, axis=reduce_axes)
+                mean = s1 / count
+                var = s2 / count - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+                )
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.compute_dtype)
+
+
 class BasicBlock(nn.Module):
     """Two 3×3 convs with identity (or 1×1-projected) residual."""
 
@@ -46,7 +111,7 @@ class BasicBlock(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool, mask=None) -> jnp.ndarray:
         needs_projection = (x.shape[-1] != self.features) or (self.stride != 1)
 
         identity = x
@@ -55,30 +120,27 @@ class BasicBlock(nn.Module):
             padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.compute_dtype,
             name="conv1",
         )(x)
-        y = nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=BN_MOMENTUM,
-            dtype=self.compute_dtype, name="bn1",
-        )(y)
+        y = MaskedBatchNorm(compute_dtype=self.compute_dtype, name="bn1")(
+            y, use_running_average=not train, mask=mask
+        )
         y = nn.relu(y)
         y = nn.Conv(
             self.features, (3, 3), strides=(1, 1),
             padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.compute_dtype,
             name="conv2",
         )(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=BN_MOMENTUM,
-            dtype=self.compute_dtype, name="bn2",
-        )(y)
+        y = MaskedBatchNorm(compute_dtype=self.compute_dtype, name="bn2")(
+            y, use_running_average=not train, mask=mask
+        )
 
         if needs_projection:
             identity = nn.Conv(
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.compute_dtype, name="downsample_conv",
             )(identity)
-            identity = nn.BatchNorm(
-                use_running_average=not train, epsilon=BN_EPS, momentum=BN_MOMENTUM,
-                dtype=self.compute_dtype, name="downsample_bn",
-            )(identity)
+            identity = MaskedBatchNorm(
+                compute_dtype=self.compute_dtype, name="downsample_bn"
+            )(identity, use_running_average=not train, mask=mask)
 
         return nn.relu(y + identity)
 
@@ -97,17 +159,21 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, *, train: bool = False, return_features: bool = False
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        return_features: bool = False,
+        mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
         x = x.astype(self.compute_dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.compute_dtype, name="conv1",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=BN_MOMENTUM,
-            dtype=self.compute_dtype, name="bn1",
-        )(x)
+        x = MaskedBatchNorm(compute_dtype=self.compute_dtype, name="bn1")(
+            x, use_running_average=not train, mask=mask
+        )
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1) pads with -inf.
         x = nn.max_pool(
@@ -121,7 +187,7 @@ class ResNet(nn.Module):
                     STAGE_WIDTHS[stage], stride=stride,
                     compute_dtype=self.compute_dtype,
                     name=f"layer{stage + 1}_{block}",
-                )(x, train=train)
+                )(x, train=train, mask=mask)
 
         features = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # global avg pool
         if self.num_classes is None:

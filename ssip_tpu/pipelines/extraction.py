@@ -1,0 +1,357 @@
+"""Frozen ResNet-18 embedding extraction — the throughput-critical pipeline.
+
+TPU-native re-design of the reference workload (call stack: SURVEY.md §3.1;
+reference src/feature_extraction.py): discovery → decode-once image store →
+double-buffered host→HBM feed → one jitted step fusing the Pallas preprocess
+kernel with the frozen backbone forward, sharded over the mesh's data axis →
+sanity checks, cosine NN probe (on device), digest, artifact set
+(embeddings.npy/.csv, metadata.json, feature_summary.md) with schemas
+identical to the reference's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssip_tpu.data.discovery import (
+    ImageRecord,
+    compute_dataset_digest,
+    discover_image_records,
+)
+from ssip_tpu.data.pipeline import ImageStore, iter_device_batches
+from ssip_tpu.models import ResNet18
+from ssip_tpu.models.port_torch import load_torch_checkpoint
+from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
+from ssip_tpu.ops.resize import extraction_preprocess
+from ssip_tpu.parallel.mesh import batch_sharding, build_mesh, pad_to_multiple
+from ssip_tpu.runtime.artifacts import ArtifactRegistry
+from ssip_tpu.runtime.device import device_label, resolve_devices
+from ssip_tpu.runtime.logging import configure_logging, get_logger
+
+LOGGER = get_logger(__name__)
+
+BACKBONE_NAME = "ssip_tpu.flax.resnet18"
+DEFAULT_WEIGHTS_ENV = "SSIP_RESNET18_WEIGHTS"
+
+
+@dataclass
+class ExtractionConfig:
+    data_dir: Path = Path("mri_dataset_brain_cancer_oc")
+    output_dir: Path = Path("outputs")
+    batch_size: int = 32
+    device: str = "auto"
+    verbose: bool = False
+    weights: Optional[Path] = None  # torch .pt/.pth state_dict to port
+    resize: int = 256
+    crop: int = 224
+    seed: int = 42
+    neighbor_sample: int = 8
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" (throughput mode)
+    cache_decoded: bool = True
+    num_decode_threads: int = 8
+
+
+@dataclass
+class ExtractionSummary:
+    embeddings: np.ndarray
+    records: List[ImageRecord]
+    failures: List[Path]
+    stats: Dict[str, float]
+    neighbor_probe: List[Dict[str, Any]]
+    total_seconds: float
+    per_image_seconds: List[float]
+    weights_source: str
+
+
+def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
+    """Load ported torchvision weights if available, else seeded init.
+
+    The north-star parity mode needs real IMAGENET1K_V1 weights; when they
+    are absent (no-egress environments) a deterministic seeded init keeps
+    the pipeline runnable and reproducible, and the metadata records which
+    weights actually produced the artifact.
+    """
+    candidates: list[Path] = []
+    if cfg.weights is not None:
+        candidates.append(Path(cfg.weights))
+    env = os.environ.get(DEFAULT_WEIGHTS_ENV)
+    if env:
+        candidates.append(Path(env))
+    candidates.append(Path(cfg.output_dir) / "models" / "resnet18_imagenet1k.pt")
+
+    for path in candidates:
+        if path.exists():
+            LOGGER.info("Porting torch weights from %s", path)
+            variables = load_torch_checkpoint(str(path), include_fc=False)
+            return variables, f"ported:{path}"
+        if cfg.weights is not None and path == Path(cfg.weights):
+            raise FileNotFoundError(f"Weights checkpoint not found: {path}")
+
+    LOGGER.warning(
+        "No pretrained checkpoint found — using seeded random init "
+        "(embeddings will NOT match the torchvision reference)."
+    )
+    from ssip_tpu.models.host_init import seeded_init_host
+
+    model = ResNet18(num_classes=None)
+    variables = seeded_init_host(model, cfg.seed, (1, cfg.crop, cfg.crop, 3))
+    return variables, f"random_init:seed={cfg.seed}"
+
+
+def run_sanity_checks(embeddings: np.ndarray) -> Dict[str, float]:
+    """NaN/inf fail-fast + aggregate stats (schema: reference :334-356)."""
+    arr = jnp.asarray(embeddings)
+    if bool(jnp.isnan(arr).any()):
+        raise ValueError("Embedding matrix contains NaN values")
+    if bool(jnp.isinf(arr).any()):
+        raise ValueError("Embedding matrix contains inf values")
+    return {
+        "num_vectors": int(arr.shape[0]),
+        "dimension": int(arr.shape[1]),
+        "mean_abs_mean": float(jnp.abs(arr.mean(axis=0)).mean()),
+        "mean_std": float(arr.std(axis=0).mean()),
+    }
+
+
+def nearest_neighbor_probe(
+    embeddings: np.ndarray,
+    records: List[ImageRecord],
+    sample_size: int = 8,
+    seed: int = 42,
+) -> List[Dict[str, Any]]:
+    """Cosine NN spot check, computed as one device matmul.
+
+    Same sampling discipline as the reference (:359-398): numpy Generator
+    seeded with ``seed`` choosing queries without replacement.
+    """
+    n = embeddings.shape[0]
+    if n < 2:
+        return []
+    sample_size = min(sample_size, n - 1)
+    if sample_size <= 0:
+        return []
+    rng = np.random.default_rng(seed)
+    sample = rng.choice(n, size=sample_size, replace=False)
+
+    emb = jnp.asarray(embeddings)
+    normalized = emb / jnp.clip(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    sims = normalized[sample] @ normalized.T  # [S, N]
+    sims = sims.at[jnp.arange(sample_size), jnp.asarray(sample)].set(-jnp.inf)
+    neighbor_idx = np.asarray(jnp.argmax(sims, axis=1))
+    best_sim = np.asarray(jnp.max(sims, axis=1))
+
+    return [
+        {
+            "query": str(records[int(q)].relative_path),
+            "neighbor": str(records[int(nb)].relative_path),
+            "similarity": float(s),
+        }
+        for q, nb, s in zip(sample, neighbor_idx, best_sim)
+    ]
+
+
+def extract_embeddings(
+    records: List[ImageRecord], cfg: ExtractionConfig
+) -> ExtractionSummary:
+    devices = resolve_devices(cfg.device)
+    mesh = build_mesh(devices=devices)
+    sharding = batch_sharding(mesh)
+    LOGGER.info("Extraction on %s (mesh data=%d)", device_label(devices), mesh.shape["data"])
+
+    variables, weights_source = _resolve_weights(cfg)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    model = ResNet18(num_classes=None, compute_dtype=compute_dtype)
+
+    digest = compute_dataset_digest(records)
+    store = ImageStore.from_paths(
+        [r.absolute_path for r in records],
+        convert_rgb=False,  # extraction policy: no RGB conversion
+        num_threads=cfg.num_decode_threads,
+        cache_dir=Path(cfg.output_dir) / "cache" if cfg.cache_decoded else None,
+        cache_key=digest[:16],
+    )
+    failures = list(store.failures)
+    valid = store.valid_indices()
+
+    h, w = store.image_shape[0], store.image_shape[1]
+    use_pallas = (
+        devices[0].platform not in ("cpu",) and h == w and store.image_shape[2] == 3
+    )
+
+    # one fixed batch shape for the whole stream → single executable
+    global_batch = pad_to_multiple(cfg.batch_size, mesh.shape["data"])
+
+    @jax.jit
+    def embed_step(u8: jax.Array) -> jax.Array:
+        if use_pallas:
+            x = preprocess_images_pallas(
+                u8, resize=cfg.resize, crop=cfg.crop, out_dtype=compute_dtype
+            )
+        else:
+            x = extraction_preprocess(
+                u8, resize=cfg.resize, crop=cfg.crop, dtype=compute_dtype
+            )
+        return model.apply(variables, x, train=False)
+
+    chunks: list[np.ndarray] = []
+    per_image_times: list[float] = []
+    t_start = time.perf_counter()
+    t_batch = t_start
+    for batch in iter_device_batches(
+        store, valid, global_batch, sharding=sharding, prefetch=2
+    ):
+        feats = embed_step(batch.data)
+        feats_host = np.asarray(feats[: batch.valid], dtype=np.float32)
+        chunks.append(feats_host)
+        now = time.perf_counter()
+        per_image_times.extend([(now - t_batch) / batch.valid] * batch.valid)
+        t_batch = now
+    total = time.perf_counter() - t_start
+
+    if not chunks:
+        raise RuntimeError("No embeddings were generated; all images failed to decode?")
+    embeddings = np.concatenate(chunks, axis=0)
+    kept_records = [records[int(i)] for i in valid]
+    LOGGER.info(
+        "Extracted %d embeddings in %.2fs (%.1f imgs/s end-to-end)",
+        len(embeddings),
+        total,
+        len(embeddings) / max(total, 1e-9),
+    )
+
+    stats = run_sanity_checks(embeddings)
+    probe = nearest_neighbor_probe(
+        embeddings, kept_records, sample_size=cfg.neighbor_sample, seed=cfg.seed
+    )
+    return ExtractionSummary(
+        embeddings=embeddings,
+        records=kept_records,
+        failures=failures,
+        stats=stats,
+        neighbor_probe=probe,
+        total_seconds=total,
+        per_image_seconds=per_image_times,
+        weights_source=weights_source,
+    )
+
+
+def save_artifacts(
+    summary: ExtractionSummary, cfg: ExtractionConfig, digest: str, device_str: str
+) -> None:
+    """Artifact set with reference-identical schemas (reference :401-502)."""
+    import pandas as pd
+
+    reg = ArtifactRegistry(Path(cfg.output_dir))
+    reg.features_dir.mkdir(parents=True, exist_ok=True)
+    reg.notes_dir.mkdir(parents=True, exist_ok=True)
+
+    np.save(reg.embeddings_npy, summary.embeddings.astype(np.float32))
+
+    pd.DataFrame(
+        [
+            {
+                "index": i,
+                "path": str(r.relative_path),
+                "bucket": r.bucket,
+                "label": r.label,
+            }
+            for i, r in enumerate(summary.records)
+        ]
+    ).to_csv(reg.embeddings_csv, index=False)
+
+    metadata = {
+        "backbone": BACKBONE_NAME,
+        "weights": summary.weights_source,
+        "layer": "global_avg_pool",
+        "embedding_dimension": int(summary.embeddings.shape[1]),
+        "input_resize": cfg.resize,
+        "input_crop": cfg.crop,
+        "normalization_mean": [0.485, 0.456, 0.406],
+        "normalization_std": [0.229, 0.224, 0.225],
+        "channel_policy": "No conversion (assumes RGB inputs)",
+        "date_utc": datetime.now(timezone.utc).isoformat(),
+        "num_images": int(summary.embeddings.shape[0]),
+        "failed_images": len(summary.failures),
+        "device": device_str,
+        "dataset_dir": str(cfg.data_dir),
+        "dataset_digest": digest,
+        "sanity_checks": summary.stats,
+        "neighbor_probe": summary.neighbor_probe,
+    }
+    reg.features_metadata_json.write_text(json.dumps(metadata, indent=2))
+
+    mean_latency = float(np.mean(summary.per_image_seconds)) if summary.per_image_seconds else float("nan")
+    median_latency = float(np.median(summary.per_image_seconds)) if summary.per_image_seconds else float("nan")
+    failure_section = (
+        "None" if not summary.failures else "\n".join(f"- {p}" for p in summary.failures)
+    )
+    neighbor_lines = ["| Query | Neighbor | Cosine |", "| --- | --- | --- |"]
+    for item in summary.neighbor_probe:
+        neighbor_lines.append(
+            f"| {item['query']} | {item['neighbor']} | {item['similarity']:.4f} |"
+        )
+    neighbor_block = (
+        "\n".join(neighbor_lines)
+        if summary.neighbor_probe
+        else "No neighbors computed (insufficient samples)."
+    )
+
+    reg.feature_summary_md.write_text(
+        f"""# Feature Extraction Summary
+
+- Backbone: {BACKBONE_NAME} ({summary.weights_source})
+- Layer: global average pooled features ({summary.embeddings.shape[1]}-D)
+- Input spec: resize {cfg.resize} → center crop {cfg.crop}, ImageNet normalization
+- Batch size: {cfg.batch_size}
+- Device: {device_str}
+- Total images processed: {summary.embeddings.shape[0]}
+- Failed decodes: {len(summary.failures)}
+- Mean per-image latency (s): {mean_latency:.4f}
+- Median per-image latency (s): {median_latency:.4f}
+
+## Sanity Check Statistics
+
+- Mean of |dimension means|: {summary.stats['mean_abs_mean']:.6f}
+- Mean of dimension standard deviations: {summary.stats['mean_std']:.6f}
+
+## Nearest Neighbor Spot Check
+
+{neighbor_block}
+
+## Decode Failures
+
+{failure_section}
+""",
+    )
+
+
+def run_extraction(cfg: ExtractionConfig) -> ExtractionSummary:
+    from ssip_tpu.runtime.jaxconfig import setup_jax
+
+    setup_jax()
+    reg = ArtifactRegistry(Path(cfg.output_dir))
+    reg.logs_dir.mkdir(parents=True, exist_ok=True)
+    configure_logging("DEBUG" if cfg.verbose else "INFO", log_file=reg.extraction_log)
+
+    records = discover_image_records(Path(cfg.data_dir))
+    LOGGER.info(
+        "Discovered %d images (labeled=%d, unlabeled=%d)",
+        len(records),
+        sum(1 for r in records if r.bucket == "labeled"),
+        sum(1 for r in records if r.bucket == "unlabeled"),
+    )
+    digest = compute_dataset_digest(records)
+    summary = extract_embeddings(records, cfg)
+    devices = resolve_devices(cfg.device)
+    save_artifacts(summary, cfg, digest, device_label(devices))
+    return summary

@@ -1,0 +1,182 @@
+"""Supervised baseline pipeline (reference semantics: supervised.py:38-144).
+
+Flow: seeded split (exact index parity with the reference) → ResNet-18
+classifier trained with the jitted engine (balanced sampler, device-side
+augmentation, plateau LR, early stop, best-state checkpoint) → argmax test
+eval → optional recall-first threshold calibration on val → thresholded test
+eval → figures + ``results_comparison.csv``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ssip_tpu.models import ResNet18
+from ssip_tpu.models.host_init import seeded_init_host
+from ssip_tpu.models.port_torch import load_torch_checkpoint
+from ssip_tpu.ops.thresholds import select_operating_threshold
+from ssip_tpu.pipelines.train_config import TrainingConfig
+from ssip_tpu.report.plots import (
+    plot_confusion_matrix,
+    plot_pr_curves,
+    plot_roc_curves,
+    plot_training_curves,
+)
+from ssip_tpu.runtime.logging import get_logger
+from ssip_tpu.train.checkpoints import save_checkpoint, variables_of
+from ssip_tpu.train.data import load_labeled_dataset, subset
+from ssip_tpu.train.engine import DeviceDataset, TrainState, make_optimizer, train_model
+from ssip_tpu.train.evaluate import evaluate_model
+from ssip_tpu.data.splits import split_dict
+
+LOGGER = get_logger(__name__)
+
+
+def build_classifier_state(
+    config: TrainingConfig, num_classes: int, learning_rate: float
+) -> Tuple[TrainState, Any]:
+    """Fresh classifier TrainState: ported backbone (if available) + new fc."""
+    model = ResNet18(num_classes=num_classes)
+    variables = seeded_init_host(
+        model, config.seed, (1, config.image_size, config.image_size, 3)
+    )
+
+    import os
+
+    weights = config.pretrained_weights or os.environ.get("SSIP_RESNET18_WEIGHTS")
+    if weights and str(weights):
+        from pathlib import Path
+
+        wpath = Path(weights)
+        if wpath.exists():
+            LOGGER.info("Porting pretrained backbone from %s", wpath)
+            ported = load_torch_checkpoint(str(wpath), include_fc=False)
+            # keep the freshly-initialized fc head, swap in the backbone
+            params = dict(ported["params"])
+            params["fc"] = variables["params"]["fc"]
+            variables = {"params": params, "batch_stats": ported["batch_stats"]}
+
+    tx = make_optimizer(learning_rate, config.weight_decay)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    return state, model
+
+
+def prepare_datasets(
+    config: TrainingConfig,
+) -> Tuple[Dict[str, DeviceDataset], list, Dict[str, np.ndarray], Any, np.ndarray]:
+    """(split datasets, classes, split indices, all images, targets)."""
+    images, targets, classes, _paths = load_labeled_dataset(
+        config.strong_data_dir, config.image_size, num_threads=config.num_workers
+    )
+    splits = split_dict(targets.tolist(), config.val_split, config.test_split, config.seed)
+    datasets = {
+        name: subset(images, targets, idx) for name, idx in splits.items()
+    }
+    return datasets, classes, splits, images, targets
+
+
+def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
+    from ssip_tpu.runtime.jaxconfig import setup_jax
+
+    setup_jax()
+    reg = config.artifacts
+
+    datasets, classes, splits, _, _ = prepare_datasets(config)
+    if config.positive_class not in classes:
+        raise ValueError(
+            f"Positive class '{config.positive_class}' not found in dataset classes: {classes}"
+        )
+    pos_index = classes.index(config.positive_class)
+
+    state, _model = build_classifier_state(config, len(classes), config.learning_rate)
+
+    t0 = time.time()
+    state, history = train_model(
+        state,
+        datasets["train"],
+        datasets["val"],
+        num_epochs=config.baseline_epochs,
+        batch_size=config.batch_size,
+        seed=config.seed,
+        stream_name="baseline",
+        balanced=True,
+        augment=True,
+        early_stopping_patience=config.early_stopping_patience,
+        checkpoint_fn=lambda s: save_checkpoint(reg.baseline_checkpoint, variables_of(s)),
+    )
+    train_time = time.time() - t0
+
+    arg_metrics, arg_y_true, arg_y_pred, y_prob_test = evaluate_model(
+        state, datasets["test"], config.batch_size
+    )
+    arg_metrics["training_time_sec"] = train_time
+
+    if config.target_recall is not None:
+        _m, y_true_val, _p, y_prob_val = evaluate_model(
+            state, datasets["val"], config.batch_size, pos_index=pos_index
+        )
+        thr, thr_meta = select_operating_threshold(
+            (y_true_val == pos_index).astype(int),
+            y_prob_val,
+            target_recall=float(config.target_recall),
+            min_precision=config.min_precision,
+            max_fpr=config.max_fpr,
+            f_beta=config.f_beta,
+        )
+        thr_metrics, thr_y_true, thr_y_pred, thr_y_prob = evaluate_model(
+            state, datasets["test"], config.batch_size,
+            pos_index=pos_index, threshold=thr,
+        )
+        thr_metrics.update(
+            threshold=float(thr),
+            target_recall=float(config.target_recall),
+            min_precision=None if config.min_precision is None else float(config.min_precision),
+            max_fpr=None if config.max_fpr is None else float(config.max_fpr),
+            threshold_policy=thr_meta.get("policy", "unknown"),
+        )
+    else:
+        thr = None
+        thr_metrics = dict(arg_metrics)
+        thr_y_true, thr_y_pred, thr_y_prob = arg_y_true, arg_y_pred, y_prob_test
+        thr_metrics.update(
+            threshold=None, target_recall=None, min_precision=None,
+            max_fpr=None, threshold_policy="disabled",
+        )
+    thr_metrics["training_time_sec"] = train_time
+
+    plot_training_curves(history, reg.baseline_curves_png, "Baseline")
+    plot_confusion_matrix(arg_y_true, arg_y_pred, classes, reg.baseline_confusion_png)
+    y_true_bin = (thr_y_true == pos_index).astype(int)
+    plot_roc_curves({"Baseline": (y_true_bin, thr_y_prob)}, reg.roc_curves_png)
+    plot_pr_curves(
+        {"Baseline": (y_true_bin, thr_y_prob)},
+        reg.figures_dir / "pr_curves_baseline.png",
+    )
+
+    import pandas as pd
+
+    reg.tables_dir.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame.from_dict({"baseline_thresholded": thr_metrics}, orient="index").to_csv(
+        reg.results_comparison_csv
+    )
+
+    # persist split indices for post-hoc tooling (threshold_sweep)
+    import json
+
+    reg.notes_dir.mkdir(parents=True, exist_ok=True)
+    history_payload = {
+        "baseline": history,
+        "splits": {k: np.asarray(v).tolist() for k, v in splits.items()},
+    }
+    reg.training_history_json.write_text(json.dumps(history_payload, indent=2))
+
+    return {"baseline_thresholded": thr_metrics, "baseline_argmax": arg_metrics}

@@ -1,0 +1,46 @@
+"""Shared training configuration (mirrors reference TrainingConfig fields).
+
+Field inventory parity: reference src/training/common.py:45-80 — same names,
+same defaults — with artifact paths derived from ``output_dir`` through the
+ArtifactRegistry instead of hard-coded strings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+from ssip_tpu.runtime.artifacts import ArtifactRegistry
+
+
+@dataclass
+class TrainingConfig:
+    strong_data_dir: Path
+    weak_data_dir: Optional[Path] = None
+    batch_size: int = 16
+    val_split: float = 0.2
+    test_split: float = 0.2
+    seed: int = 42
+    image_size: int = 224
+    num_workers: int = 2  # decode threads (kept for flag parity)
+    device: str = "auto"
+    positive_class: str = "cancer"
+    target_recall: Optional[float] = None
+    min_precision: Optional[float] = None
+    max_fpr: Optional[float] = None
+    f_beta: float = 2.0
+    baseline_epochs: int = 10
+    weak_pretrain_epochs: int = 5
+    finetune_epochs: int = 8
+    pseudo_label_threshold: float = 0.7
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    early_stopping_patience: int = 3
+    output_dir: Path = Path("outputs")
+    unlabeled_cohort_csv: Optional[Path] = None
+    pretrained_weights: Optional[Path] = None  # torch resnet18 state_dict
+
+    @property
+    def artifacts(self) -> ArtifactRegistry:
+        return ArtifactRegistry(Path(self.output_dir))

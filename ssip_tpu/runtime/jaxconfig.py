@@ -1,0 +1,43 @@
+"""Process-wide JAX configuration for ssip_tpu workloads.
+
+Centralizes the settings every CLI entry point wants:
+  - persistent compilation cache (first TPU compiles here run 30-300s; the
+    cache makes reruns near-instant),
+  - cache thresholds tuned so even mid-sized programs are cached.
+
+Idempotent; safe to call from every pipeline entry.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+
+_CONFIGURED = False
+
+
+def setup_jax(cache_dir: str | os.PathLike | None = None) -> None:
+    global _CONFIGURED
+    if _CONFIGURED:
+        return
+    # CPU-backend AOT cache entries embed host machine features and can
+    # SIGILL when reloaded under a different compile config — cache only
+    # accelerator (TPU) compiles, which is where the 30-300s wins are anyway.
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in str(platforms):
+        _CONFIGURED = True
+        return
+    cache = Path(
+        cache_dir
+        or os.environ.get("SSIP_JAX_CACHE_DIR")
+        or Path.home() / ".cache" / "ssip_tpu" / "jax"
+    )
+    try:
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+    _CONFIGURED = True

@@ -1,0 +1,63 @@
+"""Checkpointing: torch-compatible artifacts + native Flax serialization.
+
+The reference persists best-val-loss ``state_dict``s at
+``outputs/models/{baseline,semi}_resnet18.pt`` (reference common.py:418-424,
+:76-77). We keep that artifact contract — the ``.pt`` files written here are
+genuine ``torch.load``-able torchvision-layout state_dicts (via the inverse
+porting tool) so reference tooling keeps working — and additionally write a
+``.msgpack`` Flax-native snapshot beside each for pure-JAX reload.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ssip_tpu.models.port_torch import export_state_dict, port_state_dict
+from ssip_tpu.runtime.logging import get_logger
+
+LOGGER = get_logger(__name__)
+
+
+def variables_of(state) -> Dict[str, Any]:
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def save_checkpoint(path: Path, variables: Dict[str, Any]) -> None:
+    """Write ``<path>`` (torch .pt state_dict) and ``<path>.msgpack``."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    host_vars = jax.device_get(variables)
+
+    flax_path = path.with_suffix(path.suffix + ".msgpack")
+    flax_path.write_bytes(serialization.to_bytes(host_vars))
+
+    try:
+        import torch
+
+        state_dict = {
+            k: torch.from_numpy(np.ascontiguousarray(v).copy())
+            for k, v in export_state_dict(host_vars).items()
+        }
+        torch.save(state_dict, path)
+    except Exception as exc:  # pragma: no cover - torch is present in CI
+        LOGGER.warning("Skipping torch-format checkpoint %s: %s", path, exc)
+    LOGGER.info("Saved checkpoint %s (+ .msgpack)", path)
+
+
+def load_checkpoint(path: Path, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Load from the native msgpack if present, else port the torch .pt."""
+    path = Path(path)
+    flax_path = path.with_suffix(path.suffix + ".msgpack")
+    if flax_path.exists():
+        return serialization.from_bytes(jax.device_get(template), flax_path.read_bytes())
+    if path.exists():
+        import torch
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        return port_state_dict({k: v.numpy() for k, v in state.items()})
+    raise FileNotFoundError(f"No checkpoint at {path} or {flax_path}")

@@ -1,0 +1,105 @@
+"""Training-side dataset assembly: device-resident resized tensors.
+
+The reference streams PIL→transform per item through DataLoader workers
+every epoch (reference common.py:126-194, 249-292). TPU-native re-design:
+the deterministic prefix of the transform (decode → RGB convert →
+Resize(S,S)) runs ONCE — decode on host, resize on device in one batched
+shot — leaving a [N, S, S, 3] uint8 tensor resident in HBM. Per-step work is
+then a pure device gather + random augment inside the jitted train step.
+For this corpus (1506 × 224² × 3 ≈ 226 MB) residency is trivially cheap.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssip_tpu.data.decode import decode_batch
+from ssip_tpu.data.discovery import labeled_folder, unlabeled_files
+from ssip_tpu.ops.resize import resize_bilinear
+from ssip_tpu.runtime.logging import get_logger
+from ssip_tpu.train.engine import DeviceDataset
+
+LOGGER = get_logger(__name__)
+
+
+def _resize_on_device(
+    arrays: List[np.ndarray], image_size: int, batch: int = 256
+) -> jax.Array:
+    """Resize a list of decoded u8 images to [N, S, S, 3] u8 on device.
+
+    Uniform-shape images are resized in device batches (MXU matmuls);
+    stragglers go one-by-one. Output stays on the default device.
+    """
+    from collections import defaultdict
+
+    by_shape: dict[tuple, list[int]] = defaultdict(list)
+    for i, arr in enumerate(arrays):
+        by_shape[arr.shape].append(i)
+
+    out = jnp.zeros((len(arrays), image_size, image_size, 3), jnp.uint8)
+    resize_jit = jax.jit(
+        lambda x: jnp.round(
+            resize_bilinear(x, image_size, image_size, quantize=True)
+        ).astype(jnp.uint8),
+    )
+    for shape, idxs in by_shape.items():
+        for start in range(0, len(idxs), batch):
+            chunk = idxs[start : start + batch]
+            stacked = np.stack([arrays[i] for i in chunk])
+            resized = resize_jit(jnp.asarray(stacked))
+            out = out.at[jnp.asarray(chunk)].set(resized)
+    return out
+
+
+def load_labeled_dataset(
+    strong_data_dir: Path, image_size: int, num_threads: int = 4
+) -> Tuple[jax.Array, np.ndarray, List[str], List[Path]]:
+    """(resized u8 images, targets, classes, paths) — ImageFolder semantics.
+
+    Training channel policy: ``.convert("RGB")`` (reference common.py:171).
+    Decode failures are fatal here (labeled data must be intact), matching
+    ImageFolder behavior.
+    """
+    paths, targets, classes = labeled_folder(strong_data_dir)
+    arrays, failures = decode_batch(paths, convert_rgb=True, num_threads=num_threads)
+    if failures:
+        raise RuntimeError(f"Failed to decode labeled images: {failures}")
+    images = _resize_on_device([a for a in arrays], image_size)
+    return images, np.asarray(targets), classes, paths
+
+
+def load_unlabeled_dataset(
+    weak_data_dir: Path,
+    image_size: int,
+    keep_paths: Optional[Sequence[Path]] = None,
+    num_threads: int = 4,
+) -> Tuple[jax.Array, List[Path]]:
+    """(resized u8 images, paths) for the flat unlabeled pool.
+
+    ``keep_paths`` applies a cohort filter (reference semi_supervised.py:
+    191-228) before decode. Decode failures are dropped with a warning.
+    """
+    paths = unlabeled_files(weak_data_dir)
+    if keep_paths is not None:
+        keep = {str(Path(p).resolve()) for p in keep_paths}
+        paths = [p for p in paths if str(p.resolve()) in keep]
+    if not paths:
+        raise RuntimeError(f"No unlabeled images to load from {weak_data_dir}")
+    arrays, failures = decode_batch(paths, convert_rgb=True, num_threads=num_threads)
+    kept = [(p, a) for p, a in zip(paths, arrays) if a is not None]
+    if failures:
+        LOGGER.warning("Dropped %d undecodable unlabeled images", len(failures))
+    if not kept:
+        raise RuntimeError("All unlabeled images failed to decode")
+    images = _resize_on_device([a for _, a in kept], image_size)
+    return images, [p for p, _ in kept]
+
+
+def subset(images: jax.Array, labels: np.ndarray, indices: np.ndarray) -> DeviceDataset:
+    idx = jnp.asarray(np.asarray(indices))
+    return DeviceDataset.create(images[idx], np.asarray(labels)[np.asarray(indices)])

@@ -1,0 +1,333 @@
+"""Jitted training/eval engine with the reference's epoch-driver semantics.
+
+Functional re-design of the reference's torch loop (reference
+src/training/common.py:345-432): the inner loop is one donated, jitted
+``train_step`` (augment → forward(train) → CE loss → AdamW update, with BN
+batch stats updated from the *global* batch — under jit over a data-sharded
+batch XLA computes cross-device means, i.e. sync-BN for free); the outer
+driver keeps the reference's control semantics exactly: per-epoch
+train/val loss+acc+F1 history, ReduceLROnPlateau(factor 0.5, patience 2) on
+val loss, early stopping (patience 3), best-val-loss state capture and
+restore.
+
+The whole (tiny) dataset lives device-resident as resized uint8; per-step
+batches are device-side gathers — no host↔device traffic inside an epoch.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ssip_tpu.ops.augment import eval_preprocess, train_augment
+from ssip_tpu.ops.metrics import accuracy_f1
+from ssip_tpu.runtime.logging import get_logger
+from ssip_tpu.runtime.prng import epoch_key
+
+LOGGER = get_logger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+            apply_fn=apply_fn,
+        )
+
+
+def make_optimizer(learning_rate: float, weight_decay: float) -> optax.GradientTransformation:
+    """AdamW with torch-default betas/eps and runtime-adjustable LR.
+
+    ``inject_hyperparams`` exposes the learning rate in the optimizer state
+    so the plateau scheduler can anneal it without recompiling the step.
+    Decay applies to every parameter — torch.optim.AdamW's default, which is
+    what the reference uses (reference supervised.py:115-119).
+    """
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=weight_decay,
+    )
+
+
+def get_lr(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def set_lr(state: TrainState, lr: float) -> TrainState:
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state)
+
+
+def make_train_step(
+    augment: bool = True,
+    rotate_degrees: float = 10.0,
+    trainable_mask: Optional[Any] = None,
+):
+    """Build the jitted train step.
+
+    ``trainable_mask``: pytree of bools matching params — False entries get
+    zero gradient (the reference's requires_grad freezing of the backbone
+    during weak pretrain, reference semi_supervised.py:261-263).
+    """
+
+    # NOTE: state is deliberately NOT donated — the epoch driver keeps the
+    # best-val-loss state object alive across steps (donation would
+    # invalidate its buffers). At ResNet-18 scale the extra copy is noise.
+    @jax.jit
+    def train_step(
+        state: TrainState, images_u8: jax.Array, labels: jax.Array,
+        valid: jax.Array, key: jax.Array,
+    ):
+        if augment:
+            x = train_augment(images_u8, key, rotate_degrees)
+        else:
+            x = eval_preprocess(images_u8)
+
+        def loss_fn(params):
+            logits, new_model_state = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mask=valid, mutable=["batch_stats"],
+            )
+            weights = valid.astype(jnp.float32)
+            per_example = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            )
+            loss = jnp.sum(per_example * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+            return loss, (logits, new_model_state)
+
+        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
+            )
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if trainable_mask is not None:
+            # keep frozen params bit-identical (decay must not touch them)
+            new_params = jax.tree.map(
+                lambda new, old, m: new if m else old,
+                new_params, state.params, trainable_mask,
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_model_state["batch_stats"],
+            opt_state=new_opt_state,
+        )
+        preds = jnp.argmax(logits, axis=1)
+        return new_state, loss, preds
+
+    return train_step
+
+
+@partial(jax.jit, static_argnames="apply_fn")
+def eval_step(apply_fn, params, batch_stats, images_u8, labels, valid):
+    """Eval forward: normalize → frozen-stats forward → loss + preds + probs."""
+    x = eval_preprocess(images_u8)
+    logits = apply_fn({"params": params, "batch_stats": batch_stats}, x, train=False)
+    weights = valid.astype(jnp.float32)
+    per_example = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss = jnp.sum(per_example * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+    probs = jax.nn.softmax(logits, axis=1)
+    preds = jnp.argmax(logits, axis=1)
+    return loss, preds, probs
+
+
+@dataclass
+class DeviceDataset:
+    """Device-resident, eval-resized uint8 images + labels."""
+
+    images_u8: jax.Array  # [N, S, S, 3]
+    labels: np.ndarray  # [N] int64 (host copy for metrics/sampling)
+    labels_dev: jax.Array  # [N] int32 on device
+
+    @classmethod
+    def create(cls, images_u8: jax.Array, labels: np.ndarray) -> "DeviceDataset":
+        return cls(
+            images_u8=images_u8,
+            labels=np.asarray(labels, dtype=np.int64),
+            labels_dev=jnp.asarray(np.asarray(labels), jnp.int32),
+        )
+
+    def __len__(self) -> int:
+        return int(self.images_u8.shape[0])
+
+
+def _batched_indices(n_or_indices, batch_size: int) -> List[np.ndarray]:
+    idx = (
+        np.arange(n_or_indices)
+        if isinstance(n_or_indices, int)
+        else np.asarray(n_or_indices)
+    )
+    return [idx[i : i + batch_size] for i in range(0, len(idx), batch_size)]
+
+
+def _pad_batch(idx: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    valid = np.zeros(batch_size, dtype=bool)
+    valid[: len(idx)] = True
+    if len(idx) < batch_size:
+        idx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)])
+    return idx, valid
+
+
+def run_eval_epoch(
+    state_or_vars, dataset: DeviceDataset, batch_size: int, apply_fn=None
+) -> Tuple[float, np.ndarray, np.ndarray, np.ndarray]:
+    """(avg_loss, y_true, y_pred, y_prob_full[N, C]) over the dataset in order.
+
+    Loss averaging matches the reference: mean of per-batch mean losses
+    (reference common.py:317-342).
+    """
+    if isinstance(state_or_vars, TrainState):
+        apply_fn = state_or_vars.apply_fn
+        params, batch_stats = state_or_vars.params, state_or_vars.batch_stats
+    else:
+        params, batch_stats = state_or_vars["params"], state_or_vars["batch_stats"]
+
+    losses, preds_all, probs_all = [], [], []
+    for idx in _batched_indices(len(dataset), batch_size):
+        pidx, valid = _pad_batch(idx, batch_size)
+        loss, preds, probs = eval_step(
+            apply_fn, params, batch_stats,
+            dataset.images_u8[jnp.asarray(pidx)],
+            dataset.labels_dev[jnp.asarray(pidx)],
+            jnp.asarray(valid),
+        )
+        losses.append(float(loss))
+        preds_all.append(np.asarray(preds)[: len(idx)])
+        probs_all.append(np.asarray(probs)[: len(idx)])
+    y_pred = np.concatenate(preds_all) if preds_all else np.empty(0, np.int64)
+    y_prob = np.concatenate(probs_all) if probs_all else np.empty((0, 2))
+    avg_loss = float(np.mean(losses)) if losses else 0.0
+    return avg_loss, dataset.labels.copy(), y_pred, y_prob
+
+
+def train_model(
+    state: TrainState,
+    train_dataset: DeviceDataset,
+    val_dataset: DeviceDataset,
+    *,
+    num_epochs: int,
+    batch_size: int,
+    seed: int,
+    stream_name: str,
+    balanced: bool = True,
+    augment: bool = True,
+    early_stopping_patience: int = 3,
+    plateau_patience: int = 2,
+    plateau_factor: float = 0.5,
+    trainable_mask: Optional[Any] = None,
+    checkpoint_fn: Optional[Callable[[TrainState], None]] = None,
+) -> Tuple[TrainState, Dict[str, List[float]]]:
+    """Epoch driver with reference-parity control flow (common.py:345-432)."""
+    from ssip_tpu.data.splits import balanced_epoch_indices
+
+    train_step = make_train_step(augment=augment, trainable_mask=trainable_mask)
+    history: Dict[str, List[float]] = {
+        "train_loss": [], "val_loss": [], "train_acc": [],
+        "val_acc": [], "train_f1": [], "val_f1": [],
+    }
+
+    best_state = state
+    best_val_loss = math.inf
+    early_patience = 0
+    plateau_best = math.inf
+    plateau_bad = 0
+
+    for epoch in range(num_epochs):
+        if balanced:
+            order = balanced_epoch_indices(
+                train_dataset.labels, seed=seed, epoch=epoch,
+                num_samples=len(train_dataset),
+            )
+        else:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([seed, hash(stream_name) % (2**31), epoch])
+            )
+            order = rng.permutation(len(train_dataset))
+
+        losses, y_true_ep, y_pred_ep = [], [], []
+        for bi, idx in enumerate(_batched_indices(order, batch_size)):
+            pidx, valid = _pad_batch(idx, batch_size)
+            key = epoch_key(seed, f"{stream_name}/aug/{epoch}", bi)
+            state, loss, preds = train_step(
+                state,
+                train_dataset.images_u8[jnp.asarray(pidx)],
+                train_dataset.labels_dev[jnp.asarray(pidx)],
+                jnp.asarray(valid),
+                key,
+            )
+            losses.append(float(loss))
+            y_true_ep.append(train_dataset.labels[idx])
+            y_pred_ep.append(np.asarray(preds)[: len(idx)])
+
+        train_loss = float(np.mean(losses)) if losses else 0.0
+        y_true_cat = np.concatenate(y_true_ep) if y_true_ep else np.empty(0)
+        y_pred_cat = np.concatenate(y_pred_ep) if y_pred_ep else np.empty(0)
+        train_acc, train_f1 = accuracy_f1(y_true_cat, y_pred_cat)
+
+        val_loss, vy, vp, _ = run_eval_epoch(state, val_dataset, batch_size)
+        val_acc, val_f1 = accuracy_f1(vy, vp)
+
+        # ReduceLROnPlateau(mode=min, threshold_mode=rel 1e-4): improvement
+        # means val_loss < best*(1-1e-4); >patience bad epochs → lr *= factor.
+        if val_loss < plateau_best * (1 - 1e-4):
+            plateau_best = val_loss
+            plateau_bad = 0
+        else:
+            plateau_bad += 1
+            if plateau_bad > plateau_patience:
+                new_lr = get_lr(state) * plateau_factor
+                LOGGER.info("Plateau: reducing lr to %.2e", new_lr)
+                state = set_lr(state, new_lr)
+                plateau_bad = 0
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        history["train_acc"].append(train_acc)
+        history["val_acc"].append(val_acc)
+        history["train_f1"].append(train_f1)
+        history["val_f1"].append(val_f1)
+
+        LOGGER.info(
+            "Epoch %d/%d - train loss %.4f acc %.3f f1 %.3f | val loss %.4f acc %.3f f1 %.3f",
+            epoch + 1, num_epochs, train_loss, train_acc, train_f1,
+            val_loss, val_acc, val_f1,
+        )
+
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            best_state = state
+            early_patience = 0
+            if checkpoint_fn is not None:
+                checkpoint_fn(state)
+        else:
+            early_patience += 1
+            if early_patience >= early_stopping_patience:
+                LOGGER.info("Early stopping triggered at epoch %d", epoch + 1)
+                break
+
+    return best_state, history

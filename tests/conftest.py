@@ -30,7 +30,7 @@ def rng():
     return np.random.default_rng(42)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def tiny_image_tree(tmp_path_factory):
     """Synthetic dataset tree mirroring the reference layout:
 
