@@ -33,6 +33,11 @@ def parse_args(argv=None) -> argparse.Namespace:
         "--compute-dtype", choices=["float32", "bfloat16"], default="float32"
     )
     parser.add_argument("--no-cache", action="store_true", help="skip decode cache")
+    parser.add_argument(
+        "--shard-size", type=int, default=0,
+        help="enable sharded resumable extraction with this many images per "
+        "shard (0 = single-shot)",
+    )
     return parser.parse_args(argv)
 
 
@@ -48,7 +53,12 @@ def main(argv=None) -> None:
         compute_dtype=args.compute_dtype,
         cache_decoded=not args.no_cache,
     )
-    summary = run_extraction(cfg)
+    if args.shard_size > 0:
+        from ssip_tpu.pipelines.sharded_extraction import run_sharded_extraction
+
+        summary = run_sharded_extraction(cfg, shard_size=args.shard_size)
+    else:
+        summary = run_extraction(cfg)
     print(
         f"Extracted {summary.embeddings.shape[0]} embeddings "
         f"({summary.embeddings.shape[1]}-D) in {summary.total_seconds:.2f}s"

@@ -25,8 +25,11 @@ def setup_jax(cache_dir: str | os.PathLike | None = None) -> None:
     # CPU-backend AOT cache entries embed host machine features and can
     # SIGILL when reloaded under a different compile config — cache only
     # accelerator (TPU) compiles, which is where the 30-300s wins are anyway.
-    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in str(platforms):
+    platforms = str(
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    )
+    primary = platforms.split(",")[0].strip() if platforms else ""
+    if primary == "cpu":
         _CONFIGURED = True
         return
     cache = Path(
