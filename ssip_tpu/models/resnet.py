@@ -145,8 +145,63 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
+class Bottleneck(nn.Module):
+    """1×1 → 3×3 → 1×1 bottleneck (torchvision ResNet-50/101/152 block).
+
+    torchvision places the stride on the 3×3 (its ``resnet`` uses
+    stride-on-3x3 since v0.4 — the "ResNet v1.5" variant).
+    """
+
+    features: int  # bottleneck width; block output is 4× this
+    stride: int = 1
+    compute_dtype: Any = jnp.float32
+    EXPANSION: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool, mask=None) -> jnp.ndarray:
+        out_features = self.features * self.EXPANSION
+        needs_projection = (x.shape[-1] != out_features) or (self.stride != 1)
+
+        identity = x
+        y = nn.Conv(
+            self.features, (1, 1), strides=(1, 1), use_bias=False,
+            dtype=self.compute_dtype, name="conv1",
+        )(x)
+        y = MaskedBatchNorm(compute_dtype=self.compute_dtype, name="bn1")(
+            y, use_running_average=not train, mask=mask
+        )
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.compute_dtype,
+            name="conv2",
+        )(y)
+        y = MaskedBatchNorm(compute_dtype=self.compute_dtype, name="bn2")(
+            y, use_running_average=not train, mask=mask
+        )
+        y = nn.relu(y)
+        y = nn.Conv(
+            out_features, (1, 1), strides=(1, 1), use_bias=False,
+            dtype=self.compute_dtype, name="conv3",
+        )(y)
+        y = MaskedBatchNorm(compute_dtype=self.compute_dtype, name="bn3")(
+            y, use_running_average=not train, mask=mask
+        )
+
+        if needs_projection:
+            identity = nn.Conv(
+                out_features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.compute_dtype, name="downsample_conv",
+            )(identity)
+            identity = MaskedBatchNorm(
+                compute_dtype=self.compute_dtype, name="downsample_bn"
+            )(identity, use_running_average=not train, mask=mask)
+
+        return nn.relu(y + identity)
+
+
 class ResNet(nn.Module):
-    """BasicBlock ResNet (18/34 family), torchvision topology.
+    """torchvision-topology ResNet (BasicBlock 18/34, Bottleneck 50+).
 
     ``num_classes=None`` yields the frozen-extractor head: global-average-
     pooled features (512-D for resnet18). Otherwise a Dense ``fc`` maps to
@@ -156,6 +211,7 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = RESNET18_STAGES
     num_classes: Optional[int] = None
     compute_dtype: Any = jnp.float32
+    bottleneck: bool = False
 
     @nn.compact
     def __call__(
@@ -180,10 +236,11 @@ class ResNet(nn.Module):
             x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
         )
 
+        block_cls = Bottleneck if self.bottleneck else BasicBlock
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                x = BasicBlock(
+                x = block_cls(
                     STAGE_WIDTHS[stage], stride=stride,
                     compute_dtype=self.compute_dtype,
                     name=f"layer{stage + 1}_{block}",
@@ -212,3 +269,17 @@ def ResNet34(num_classes: Optional[int] = None, compute_dtype: Any = jnp.float32
     return ResNet(
         stage_sizes=RESNET34_STAGES, num_classes=num_classes, compute_dtype=compute_dtype
     )
+
+
+def ResNet50(num_classes: Optional[int] = None, compute_dtype: Any = jnp.float32) -> ResNet:
+    return ResNet(
+        stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
+        compute_dtype=compute_dtype, bottleneck=True,
+    )
+
+
+MODEL_FACTORIES = {
+    "resnet18": ResNet18,
+    "resnet34": ResNet34,
+    "resnet50": ResNet50,
+}

@@ -16,11 +16,20 @@ SOURCE = HERE / "decode.cpp"
 TARGET = HERE / "libssipdecode.so"
 
 
-def build(verbose: bool = True) -> Path:
+def build(verbose: bool = True, sanitize: str | None = None) -> Path:
+    """Compile the decoder; ``sanitize`` ∈ {None, "address", "thread"}.
+
+    Sanitizer builds (ASan/TSan) are the test configuration for the native
+    component (SURVEY.md §5.2) — run the decoder test suite against them:
+    ``python -m ssip_tpu.native.build --sanitize address && pytest
+    tests/test_native_decoder.py``.
+    """
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         str(SOURCE), "-ljpeg", "-o", str(TARGET),
     ]
+    if sanitize:
+        cmd[1:1] = [f"-fsanitize={sanitize}", "-g", "-fno-omit-frame-pointer"]
     if verbose:
         print("+", " ".join(cmd))
     subprocess.run(cmd, check=True)
@@ -30,8 +39,13 @@ def build(verbose: bool = True) -> Path:
 
 
 if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sanitize", choices=["address", "thread"], default=None)
+    args = parser.parse_args()
     try:
-        build()
+        build(sanitize=args.sanitize)
     except (subprocess.CalledProcessError, FileNotFoundError) as exc:
         print(f"native build failed (PIL fallback will be used): {exc}",
               file=sys.stderr)

@@ -79,12 +79,62 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state)
 
 
+def _step_core(
+    state: TrainState,
+    images_u8: jax.Array,
+    labels: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    augment: bool,
+    rotate_degrees: float,
+    trainable_mask: Optional[Any],
+):
+    """One optimizer step (traceable; shared by per-step and fused-epoch jits)."""
+    if augment:
+        x = train_augment(images_u8, key, rotate_degrees)
+    else:
+        x = eval_preprocess(images_u8)
+
+    def loss_fn(params):
+        logits, new_model_state = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, mask=valid, mutable=["batch_stats"],
+        )
+        weights = valid.astype(jnp.float32)
+        per_example = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        loss = jnp.sum(per_example * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+        return loss, (logits, new_model_state)
+
+    (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    if trainable_mask is not None:
+        grads = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
+        )
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    if trainable_mask is not None:
+        # keep frozen params bit-identical (decay must not touch them)
+        new_params = jax.tree.map(
+            lambda new, old, m: new if m else old,
+            new_params, state.params, trainable_mask,
+        )
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_model_state["batch_stats"],
+        opt_state=new_opt_state,
+    )
+    return new_state, loss, jnp.argmax(logits, axis=1)
+
+
 def make_train_step(
     augment: bool = True,
     rotate_degrees: float = 10.0,
     trainable_mask: Optional[Any] = None,
 ):
-    """Build the jitted train step.
+    """Build the jitted single train step.
 
     ``trainable_mask``: pytree of bools matching params — False entries get
     zero gradient (the reference's requires_grad freezing of the backbone
@@ -99,48 +149,44 @@ def make_train_step(
         state: TrainState, images_u8: jax.Array, labels: jax.Array,
         valid: jax.Array, key: jax.Array,
     ):
-        if augment:
-            x = train_augment(images_u8, key, rotate_degrees)
-        else:
-            x = eval_preprocess(images_u8)
-
-        def loss_fn(params):
-            logits, new_model_state = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mask=valid, mutable=["batch_stats"],
-            )
-            weights = valid.astype(jnp.float32)
-            per_example = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels
-            )
-            loss = jnp.sum(per_example * weights) / jnp.maximum(jnp.sum(weights), 1.0)
-            return loss, (logits, new_model_state)
-
-        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        if trainable_mask is not None:
-            grads = jax.tree.map(
-                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
-            )
-        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        if trainable_mask is not None:
-            # keep frozen params bit-identical (decay must not touch them)
-            new_params = jax.tree.map(
-                lambda new, old, m: new if m else old,
-                new_params, state.params, trainable_mask,
-            )
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_model_state["batch_stats"],
-            opt_state=new_opt_state,
+        return _step_core(
+            state, images_u8, labels, valid, key,
+            augment, rotate_degrees, trainable_mask,
         )
-        preds = jnp.argmax(logits, axis=1)
-        return new_state, loss, preds
 
     return train_step
+
+
+def make_fused_epoch(
+    augment: bool = True,
+    rotate_degrees: float = 10.0,
+    trainable_mask: Optional[Any] = None,
+):
+    """Build a whole-epoch jit: ``lax.scan`` over pre-gathered step batches.
+
+    One dispatch runs every optimizer step of the epoch — the right shape
+    for high-dispatch-latency links (remote TPU tunnels) and for letting XLA
+    pipeline steps. Inputs are stacked [steps, batch, ...] device arrays.
+    """
+
+    @jax.jit
+    def train_epoch(
+        state: TrainState, images_u8: jax.Array, labels: jax.Array,
+        valid: jax.Array, keys: jax.Array,
+    ):
+        def body(carry, xs):
+            u8, lab, val, key = xs
+            new_state, loss, preds = _step_core(
+                carry, u8, lab, val, key, augment, rotate_degrees, trainable_mask
+            )
+            return new_state, (loss, preds)
+
+        state, (losses, preds) = jax.lax.scan(
+            body, state, (images_u8, labels, valid, keys)
+        )
+        return state, losses, preds
+
+    return train_epoch
 
 
 @partial(jax.jit, static_argnames="apply_fn")
@@ -154,6 +200,21 @@ def eval_step(apply_fn, params, batch_stats, images_u8, labels, valid):
     probs = jax.nn.softmax(logits, axis=1)
     preds = jnp.argmax(logits, axis=1)
     return loss, preds, probs
+
+
+@partial(jax.jit, static_argnames="apply_fn")
+def eval_epoch_fused(apply_fn, params, batch_stats, images_u8, labels, valid):
+    """Whole-epoch eval in one dispatch: scan over [steps, batch, ...]."""
+
+    def body(_, xs):
+        u8, lab, val = xs
+        loss, preds, probs = eval_step(apply_fn, params, batch_stats, u8, lab, val)
+        return None, (loss, preds, probs)
+
+    _, (losses, preds, probs) = jax.lax.scan(
+        body, None, (images_u8, labels, valid)
+    )
+    return losses, preds, probs
 
 
 @dataclass
@@ -193,12 +254,26 @@ def _pad_batch(idx: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.ndarray
     return idx, valid
 
 
+def _stacked_epoch(order: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """[steps, batch] index + valid arrays (final batch zero-padded)."""
+    order = np.asarray(order)
+    steps = max(1, (len(order) + batch_size - 1) // batch_size)
+    pidx = np.zeros((steps, batch_size), order.dtype if order.size else np.int64)
+    valid = np.zeros((steps, batch_size), bool)
+    for s in range(steps):
+        chunk = order[s * batch_size : (s + 1) * batch_size]
+        pidx[s, : len(chunk)] = chunk
+        valid[s, : len(chunk)] = True
+    return pidx, valid
+
+
 def run_eval_epoch(
     state_or_vars, dataset: DeviceDataset, batch_size: int, apply_fn=None
 ) -> Tuple[float, np.ndarray, np.ndarray, np.ndarray]:
     """(avg_loss, y_true, y_pred, y_prob_full[N, C]) over the dataset in order.
 
-    Loss averaging matches the reference: mean of per-batch mean losses
+    The whole epoch runs as ONE fused dispatch (scan over batches); loss
+    averaging matches the reference: mean of per-batch mean losses
     (reference common.py:317-342).
     """
     if isinstance(state_or_vars, TrainState):
@@ -207,21 +282,18 @@ def run_eval_epoch(
     else:
         params, batch_stats = state_or_vars["params"], state_or_vars["batch_stats"]
 
-    losses, preds_all, probs_all = [], [], []
-    for idx in _batched_indices(len(dataset), batch_size):
-        pidx, valid = _pad_batch(idx, batch_size)
-        loss, preds, probs = eval_step(
-            apply_fn, params, batch_stats,
-            dataset.images_u8[jnp.asarray(pidx)],
-            dataset.labels_dev[jnp.asarray(pidx)],
-            jnp.asarray(valid),
-        )
-        losses.append(float(loss))
-        preds_all.append(np.asarray(preds)[: len(idx)])
-        probs_all.append(np.asarray(probs)[: len(idx)])
-    y_pred = np.concatenate(preds_all) if preds_all else np.empty(0, np.int64)
-    y_prob = np.concatenate(probs_all) if probs_all else np.empty((0, 2))
-    avg_loss = float(np.mean(losses)) if losses else 0.0
+    n = len(dataset)
+    pidx, valid = _stacked_epoch(np.arange(n), batch_size)
+    losses, preds, probs = eval_epoch_fused(
+        apply_fn, params, batch_stats,
+        dataset.images_u8[jnp.asarray(pidx)],
+        dataset.labels_dev[jnp.asarray(pidx)],
+        jnp.asarray(valid),
+    )
+    valid_flat = valid.reshape(-1)
+    y_pred = np.asarray(preds).reshape(-1)[valid_flat]
+    y_prob = np.asarray(probs).reshape(-1, probs.shape[-1])[valid_flat]
+    avg_loss = float(jnp.mean(losses))
     return avg_loss, dataset.labels.copy(), y_pred, y_prob
 
 
@@ -245,7 +317,7 @@ def train_model(
     """Epoch driver with reference-parity control flow (common.py:345-432)."""
     from ssip_tpu.data.splits import balanced_epoch_indices
 
-    train_step = make_train_step(augment=augment, trainable_mask=trainable_mask)
+    train_epoch = make_fused_epoch(augment=augment, trainable_mask=trainable_mask)
     history: Dict[str, List[float]] = {
         "train_loss": [], "val_loss": [], "train_acc": [],
         "val_acc": [], "train_f1": [], "val_f1": [],
@@ -269,24 +341,25 @@ def train_model(
             )
             order = rng.permutation(len(train_dataset))
 
-        losses, y_true_ep, y_pred_ep = [], [], []
-        for bi, idx in enumerate(_batched_indices(order, batch_size)):
-            pidx, valid = _pad_batch(idx, batch_size)
-            key = epoch_key(seed, f"{stream_name}/aug/{epoch}", bi)
-            state, loss, preds = train_step(
-                state,
-                train_dataset.images_u8[jnp.asarray(pidx)],
-                train_dataset.labels_dev[jnp.asarray(pidx)],
-                jnp.asarray(valid),
-                key,
-            )
-            losses.append(float(loss))
-            y_true_ep.append(train_dataset.labels[idx])
-            y_pred_ep.append(np.asarray(preds)[: len(idx)])
-
-        train_loss = float(np.mean(losses)) if losses else 0.0
-        y_true_cat = np.concatenate(y_true_ep) if y_true_ep else np.empty(0)
-        y_pred_cat = np.concatenate(y_pred_ep) if y_pred_ep else np.empty(0)
+        # whole epoch in one fused dispatch
+        pidx, valid = _stacked_epoch(order, batch_size)
+        keys = jnp.stack(
+            [
+                epoch_key(seed, f"{stream_name}/aug/{epoch}", bi)
+                for bi in range(pidx.shape[0])
+            ]
+        )
+        state, losses, preds = train_epoch(
+            state,
+            train_dataset.images_u8[jnp.asarray(pidx)],
+            train_dataset.labels_dev[jnp.asarray(pidx)],
+            jnp.asarray(valid),
+            keys,
+        )
+        train_loss = float(jnp.mean(losses))
+        valid_flat = valid.reshape(-1)
+        y_true_cat = train_dataset.labels[pidx.reshape(-1)[valid_flat]]
+        y_pred_cat = np.asarray(preds).reshape(-1)[valid_flat]
         train_acc, train_f1 = accuracy_f1(y_true_cat, y_pred_cat)
 
         val_loss, vy, vp, _ = run_eval_epoch(state, val_dataset, batch_size)
