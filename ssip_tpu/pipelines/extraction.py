@@ -22,6 +22,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from functools import partial
 
 from ssip_tpu.data.discovery import (
     ImageRecord,
@@ -42,6 +43,10 @@ LOGGER = get_logger(__name__)
 
 BACKBONE_NAME = "ssip_tpu.flax.resnet18"
 DEFAULT_WEIGHTS_ENV = "SSIP_RESNET18_WEIGHTS"
+# uint8 corpus size below which the whole dataset is staged in HBM and
+# embedded in one fused dispatch (v5e has 16 GB HBM; leave room for the
+# model + activations + preprocessed batch).
+_RESIDENT_BUDGET_BYTES = 6 * 1024**3
 
 
 @dataclass
@@ -191,36 +196,93 @@ def extract_embeddings(
     # one fixed batch shape for the whole stream → single executable
     global_batch = pad_to_multiple(cfg.batch_size, mesh.shape["data"])
 
-    @jax.jit
-    def embed_step(u8: jax.Array) -> jax.Array:
+    def preprocess(u8: jax.Array) -> jax.Array:
         if use_pallas:
-            x = preprocess_images_pallas(
+            return preprocess_images_pallas(
                 u8, resize=cfg.resize, crop=cfg.crop, out_dtype=compute_dtype
             )
-        else:
-            x = extraction_preprocess(
-                u8, resize=cfg.resize, crop=cfg.crop, dtype=compute_dtype
-            )
-        return model.apply(variables, x, train=False)
+        return extraction_preprocess(
+            u8, resize=cfg.resize, crop=cfg.crop, dtype=compute_dtype
+        )
 
-    chunks: list[np.ndarray] = []
-    per_image_times: list[float] = []
+    # Two execution shapes, picked by corpus size:
+    #  - resident: stage ALL images in HBM once, embed everything in ONE
+    #    fused scan dispatch — optimal when the uint8 corpus fits a memory
+    #    budget (dispatch latency and H2D stalls vanish);
+    #  - streamed: double-buffered feeder, one dispatch per batch — the
+    #    constant-memory path for corpora beyond the budget (pairs with
+    #    sharded extraction for full scale-out).
+    corpus_bytes = int(np.prod(store.image_shape)) * len(valid)
+    resident = corpus_bytes <= _RESIDENT_BUDGET_BYTES and not store.failures
+
+    # Parameters are explicit jit ARGUMENTS (device-resident), never Python
+    # closures — closed-over numpy arrays get baked into the program as
+    # constants, bloating the HLO by the model size and wrecking both
+    # compile time and the persistent-cache hit rate.
+    variables_dev = jax.device_put(variables)
+
     t_start = time.perf_counter()
-    t_batch = t_start
-    for batch in iter_device_batches(
-        store, valid, global_batch, sharding=sharding, prefetch=2
-    ):
-        feats = embed_step(batch.data)
-        feats_host = np.asarray(feats[: batch.valid], dtype=np.float32)
-        chunks.append(feats_host)
-        now = time.perf_counter()
-        per_image_times.extend([(now - t_batch) / batch.valid] * batch.valid)
-        t_batch = now
-    total = time.perf_counter() - t_start
+    if resident and len(valid) > 0:
+        n = len(valid)
+        padded = pad_to_multiple(n, global_batch)
+        steps = padded // global_batch
 
-    if not chunks:
-        raise RuntimeError("No embeddings were generated; all images failed to decode?")
-    embeddings = np.concatenate(chunks, axis=0)
+        @partial(jax.jit, static_argnames=("steps", "batch"))
+        def embed_corpus(images: jax.Array, variables, steps: int, batch: int) -> jax.Array:
+            batched = images.reshape(steps, batch, *images.shape[1:])
+
+            def body(_, u8):
+                feats = model.apply(variables, preprocess(u8), train=False)
+                return None, feats
+
+            _, feats = jax.lax.scan(body, None, batched)
+            return feats.reshape(steps * batch, -1)
+
+        staged = store.gather(valid)
+        if padded != n:
+            staged = np.concatenate(
+                [staged, np.zeros((padded - n, *staged.shape[1:]), staged.dtype)]
+            )
+        t_stage = time.perf_counter()
+        images_dev = jax.device_put(staged, sharding)
+        images_dev.block_until_ready()
+        LOGGER.info(
+            "Staged %d images (%.0f MB) in HBM: gather %.1fs, transfer %.1fs",
+            padded, staged.nbytes / 1e6, t_stage - t_start,
+            time.perf_counter() - t_stage,
+        )
+        del staged
+        t_embed = time.perf_counter()
+        feats = embed_corpus(images_dev, variables_dev, steps=steps, batch=global_batch)
+        embeddings = np.asarray(feats[:n], dtype=np.float32)
+        LOGGER.info(
+            "Fused embed of %d images: %.1fs (compile amortized on reruns)",
+            n, time.perf_counter() - t_embed,
+        )
+        total = time.perf_counter() - t_start
+        per_image_times = [total / n] * n
+    else:
+        chunks: list[np.ndarray] = []
+        per_image_times = []
+        embed_step = jax.jit(
+            lambda u8, variables: model.apply(variables, preprocess(u8), train=False)
+        )
+        t_batch = t_start
+        for batch in iter_device_batches(
+            store, valid, global_batch, sharding=sharding, prefetch=2
+        ):
+            feats = embed_step(batch.data, variables_dev)
+            feats_host = np.asarray(feats[: batch.valid], dtype=np.float32)
+            chunks.append(feats_host)
+            now = time.perf_counter()
+            per_image_times.extend([(now - t_batch) / batch.valid] * batch.valid)
+            t_batch = now
+        total = time.perf_counter() - t_start
+        if not chunks:
+            raise RuntimeError(
+                "No embeddings were generated; all images failed to decode?"
+            )
+        embeddings = np.concatenate(chunks, axis=0)
     kept_records = [records[int(i)] for i in valid]
     LOGGER.info(
         "Extracted %d embeddings in %.2fs (%.1f imgs/s end-to-end)",

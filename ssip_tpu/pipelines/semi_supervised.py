@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -423,12 +424,13 @@ def _pool_probabilities(
 ) -> np.ndarray:
     from ssip_tpu.ops.augment import eval_preprocess
 
-    @jax.jit
-    def probs_step(u8):
+    @partial(jax.jit, static_argnames="pos_index")
+    def probs_step(u8, variables, pos_index):
         x = eval_preprocess(u8)
-        logits = state.apply_fn(variables_of(state), x, train=False)
+        logits = state.apply_fn(variables, x, train=False)
         return jax.nn.softmax(logits, axis=1)[:, pos_index]
 
+    variables = jax.device_put(variables_of(state))
     n = int(pool_images.shape[0])
     out = []
     for start in range(0, n, batch_size):
@@ -438,6 +440,8 @@ def _pool_probabilities(
             if len(idx) < batch_size
             else idx
         )
-        p = np.asarray(probs_step(pool_images[jnp.asarray(pidx)]))[: len(idx)]
+        p = np.asarray(
+            probs_step(pool_images[jnp.asarray(pidx)], variables, pos_index)
+        )[: len(idx)]
         out.append(p)
     return np.concatenate(out)

@@ -27,11 +27,12 @@ def generate_pseudo_labels(
     """(kept_indices, labels, confidences) over the pool, in pool order."""
 
     @jax.jit
-    def probs_step(u8):
+    def probs_step(u8, variables):
         x = eval_preprocess(u8)
         logits = apply_fn(variables, x, train=False)
         return jax.nn.softmax(logits, axis=1)
 
+    variables = jax.device_put(variables)
     n = int(pool_images_u8.shape[0])
     confs: List[np.ndarray] = []
     preds: List[np.ndarray] = []
@@ -39,7 +40,7 @@ def generate_pseudo_labels(
         idx = np.arange(start, min(start + batch_size, n))
         pidx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)]) \
             if len(idx) < batch_size else idx
-        p = np.asarray(probs_step(pool_images_u8[jnp.asarray(pidx)]))[: len(idx)]
+        p = np.asarray(probs_step(pool_images_u8[jnp.asarray(pidx)], variables))[: len(idx)]
         confs.append(p.max(axis=1))
         preds.append(p.argmax(axis=1))
     conf = np.concatenate(confs)

@@ -64,4 +64,6 @@ class TestShardedExtraction:
         )
         a = run_sharded_extraction(cfg, shard_size=8)
         b = run_sharded_extraction(cfg, shard_size=16)
-        np.testing.assert_array_equal(a.embeddings, b.embeddings)
+        # different shard sizes compile different fused programs → f32
+        # reduction-order noise at the 1e-6 level is expected
+        np.testing.assert_allclose(a.embeddings, b.embeddings, atol=1e-5)
