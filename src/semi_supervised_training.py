@@ -22,6 +22,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--finetune-epochs", type=int, default=8)
     parser.add_argument("--pseudo-threshold", type=float, default=0.7)
     parser.add_argument("--unlabeled-cohort-csv", type=Path, default=None)
+    parser.add_argument(
+        "--consistency-weight", type=float, default=0.0,
+        help="FixMatch-style augmentation-consistency loss weight during "
+        "fine-tuning (0 = off, reference-equivalent)",
+    )
+    parser.add_argument("--consistency-threshold", type=float, default=0.95)
     return parser.parse_args(argv)
 
 

@@ -78,6 +78,8 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         output_dir=args.output_dir,
         unlabeled_cohort_csv=getattr(args, "unlabeled_cohort_csv", None),
         pretrained_weights=args.pretrained_weights,
+        consistency_weight=getattr(args, "consistency_weight", 0.0),
+        consistency_threshold=getattr(args, "consistency_threshold", 0.95),
     )
 
 

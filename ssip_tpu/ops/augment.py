@@ -71,3 +71,25 @@ def train_augment(
 def eval_preprocess(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Eval chain: ToTensor → normalize (resize happens upstream)."""
     return normalize_imagenet(images_u8.astype(jnp.float32) / 255.0, dtype=dtype)
+
+
+def weak_augment(images_u8: jnp.ndarray, key: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
+    """FixMatch 'weak' view: horizontal flip only → normalize."""
+    x = random_flip(images_u8, key)
+    return normalize_imagenet(x.astype(jnp.float32) / 255.0, dtype=dtype)
+
+
+def strong_augment(
+    images_u8: jnp.ndarray, key: jax.Array, rotate_degrees: float = 10.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """FixMatch 'strong' view: flip → rotate → brightness/contrast jitter."""
+    k_flip, k_rot, k_bright, k_contrast = jax.random.split(key, 4)
+    x = random_flip(images_u8, k_flip)
+    x = random_rotate_nearest(x, k_rot, rotate_degrees).astype(jnp.float32)
+    b = images_u8.shape[0]
+    brightness = jax.random.uniform(k_bright, (b, 1, 1, 1), minval=-32.0, maxval=32.0)
+    contrast = jax.random.uniform(k_contrast, (b, 1, 1, 1), minval=0.7, maxval=1.3)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = jnp.clip((x - mean) * contrast + mean + brightness, 0.0, 255.0)
+    return normalize_imagenet(x / 255.0, dtype=dtype)

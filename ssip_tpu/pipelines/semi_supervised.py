@@ -250,19 +250,47 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         batch_stats=semi_state.batch_stats,
         tx=finetune_tx,
     )
-    semi_state, finetune_history = train_model(
-        semi_state,
-        datasets["train"],
-        datasets["val"],
-        num_epochs=config.finetune_epochs,
-        batch_size=config.batch_size,
-        seed=config.seed,
-        stream_name="semi_finetune",
-        balanced=True,
-        augment=True,
-        early_stopping_patience=config.early_stopping_patience,
-        checkpoint_fn=lambda s: save_checkpoint(reg.semi_checkpoint, variables_of(s)),
-    )
+    if config.consistency_weight > 0:
+        from ssip_tpu.train.consistency import train_fixmatch
+
+        LOGGER.info(
+            "Fine-tuning with augmentation-consistency (λ=%.2f, τ=%.2f)",
+            config.consistency_weight, config.consistency_threshold,
+        )
+        semi_state, finetune_history = train_fixmatch(
+            semi_state,
+            datasets["train"],
+            datasets["val"],
+            pool_images,
+            num_epochs=config.finetune_epochs,
+            batch_size=config.batch_size,
+            unlabeled_batch_size=config.batch_size,
+            seed=config.seed,
+            stream_name="semi_finetune",
+            consistency_weight=config.consistency_weight,
+            confidence_threshold=config.consistency_threshold,
+            early_stopping_patience=config.early_stopping_patience,
+        )
+        save_checkpoint(reg.semi_checkpoint, variables_of(semi_state))
+        # keep the history schema uniform for the combined curves figure
+        finetune_history = {
+            k: v for k, v in finetune_history.items()
+            if k in pretrain_history
+        }
+    else:
+        semi_state, finetune_history = train_model(
+            semi_state,
+            datasets["train"],
+            datasets["val"],
+            num_epochs=config.finetune_epochs,
+            batch_size=config.batch_size,
+            seed=config.seed,
+            stream_name="semi_finetune",
+            balanced=True,
+            augment=True,
+            early_stopping_patience=config.early_stopping_patience,
+            checkpoint_fn=lambda s: save_checkpoint(reg.semi_checkpoint, variables_of(s)),
+        )
     semi_time = time.time() - t0
 
     (

@@ -40,6 +40,10 @@ class TrainingConfig:
     output_dir: Path = Path("outputs")
     unlabeled_cohort_csv: Optional[Path] = None
     pretrained_weights: Optional[Path] = None  # torch resnet18 state_dict
+    # FixMatch-style augmentation-consistency regularization (0 = off,
+    # reference-equivalent behavior)
+    consistency_weight: float = 0.0
+    consistency_threshold: float = 0.95
 
     @property
     def artifacts(self) -> ArtifactRegistry:

@@ -1,0 +1,224 @@
+"""Augmentation-consistency (FixMatch-style) semi-supervised training.
+
+Optional extension beyond the reference's pseudo-label pipeline, named in the
+rebuild's north star ("augmentation-consistency losses"): alongside each
+labeled step, an unlabeled batch contributes
+
+    λ · CE( logits(strong_aug(u)), argmax p_weak(u) ) · 1[max p_weak ≥ τ]
+
+where the weak view (flip-only) produces the pseudo-target under
+``stop_gradient``. The whole epoch — labeled supervision + consistency — is
+one fused ``lax.scan`` dispatch, same as the plain engine.
+
+Enable via ``--consistency-weight λ`` (τ via ``--consistency-threshold``) on
+the semi-supervised CLI; default off keeps reference behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ssip_tpu.ops.augment import strong_augment, train_augment, weak_augment
+from ssip_tpu.runtime.logging import get_logger
+from ssip_tpu.runtime.prng import epoch_key
+from ssip_tpu.train.engine import TrainState, _stacked_epoch
+
+LOGGER = get_logger(__name__)
+
+
+def make_fixmatch_epoch(
+    consistency_weight: float,
+    confidence_threshold: float,
+    rotate_degrees: float = 10.0,
+    trainable_mask: Optional[Any] = None,
+):
+    """Whole-epoch jit: labeled CE + masked consistency CE per step."""
+
+    @jax.jit
+    def fixmatch_epoch(
+        state: TrainState,
+        images_u8: jax.Array,     # [S, B, H, W, 3] labeled
+        labels: jax.Array,        # [S, B]
+        valid: jax.Array,         # [S, B]
+        unlabeled_u8: jax.Array,  # [S, U, H, W, 3]
+        keys: jax.Array,          # [S]
+    ):
+        def step(carry, xs):
+            state = carry
+            u8, lab, val, unl, key = xs
+            k_sup, k_weak, k_strong = jax.random.split(key, 3)
+
+            x_sup = train_augment(u8, k_sup, rotate_degrees)
+            x_weak = weak_augment(unl, k_weak)
+            x_strong = strong_augment(unl, k_strong, rotate_degrees)
+
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                logits_sup, new_model_state = state.apply_fn(
+                    variables, x_sup, train=True, mask=val, mutable=["batch_stats"],
+                )
+                w = val.astype(jnp.float32)
+                sup_loss = jnp.sum(
+                    optax.softmax_cross_entropy_with_integer_labels(logits_sup, lab) * w
+                ) / jnp.maximum(jnp.sum(w), 1.0)
+
+                # weak view defines pseudo-targets (no grad, frozen stats)
+                logits_weak = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x_weak, train=False,
+                )
+                probs_weak = jax.lax.stop_gradient(jax.nn.softmax(logits_weak, axis=1))
+                conf = jnp.max(probs_weak, axis=1)
+                pseudo = jnp.argmax(probs_weak, axis=1)
+                keep = (conf >= confidence_threshold).astype(jnp.float32)
+
+                logits_strong, new_model_state = state.apply_fn(
+                    {
+                        "params": params,
+                        "batch_stats": new_model_state["batch_stats"],
+                    },
+                    x_strong, train=True, mutable=["batch_stats"],
+                )
+                cons_loss = jnp.sum(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        logits_strong, pseudo
+                    )
+                    * keep
+                ) / jnp.maximum(jnp.sum(keep), 1.0)
+
+                total = sup_loss + consistency_weight * cons_loss
+                return total, (logits_sup, new_model_state, sup_loss, cons_loss, keep)
+
+            (loss, (logits, new_model_state, sup_loss, cons_loss, keep)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            )
+            if trainable_mask is not None:
+                grads = jax.tree.map(
+                    lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
+                )
+            updates, new_opt_state = state.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            if trainable_mask is not None:
+                new_params = jax.tree.map(
+                    lambda new, old, m: new if m else old,
+                    new_params, state.params, trainable_mask,
+                )
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_model_state["batch_stats"],
+                opt_state=new_opt_state,
+            )
+            metrics = (loss, sup_loss, cons_loss, jnp.mean(keep),
+                       jnp.argmax(logits, axis=1))
+            return new_state, metrics
+
+        state, (losses, sup_losses, cons_losses, keep_rates, preds) = jax.lax.scan(
+            step, state, (images_u8, labels, valid, unlabeled_u8, keys)
+        )
+        return state, losses, sup_losses, cons_losses, keep_rates, preds
+
+    return fixmatch_epoch
+
+
+def train_fixmatch(
+    state: TrainState,
+    train_dataset,
+    val_dataset,
+    unlabeled_images: jax.Array,
+    *,
+    num_epochs: int,
+    batch_size: int,
+    unlabeled_batch_size: int,
+    seed: int,
+    stream_name: str,
+    consistency_weight: float,
+    confidence_threshold: float,
+    early_stopping_patience: int = 3,
+    plateau_patience: int = 2,
+    plateau_factor: float = 0.5,
+) -> Tuple[TrainState, dict]:
+    """Epoch driver mirroring ``train_model``'s control flow + consistency."""
+    import math
+
+    from ssip_tpu.data.splits import balanced_epoch_indices
+    from ssip_tpu.ops.metrics import accuracy_f1
+    from ssip_tpu.runtime.prng import host_rng
+    from ssip_tpu.train.engine import get_lr, run_eval_epoch, set_lr
+
+    fixmatch_epoch = make_fixmatch_epoch(consistency_weight, confidence_threshold)
+    history = {
+        "train_loss": [], "val_loss": [], "train_acc": [],
+        "val_acc": [], "train_f1": [], "val_f1": [],
+        "consistency_loss": [], "consistency_keep_rate": [],
+    }
+    best_state, best_val = state, math.inf
+    early, plateau_best, plateau_bad = 0, math.inf, 0
+    n_unlabeled = int(unlabeled_images.shape[0])
+
+    for epoch in range(num_epochs):
+        order = balanced_epoch_indices(
+            train_dataset.labels, seed=seed, epoch=epoch,
+            num_samples=len(train_dataset),
+        )
+        pidx, valid = _stacked_epoch(order, batch_size)
+        steps = pidx.shape[0]
+        u_rng = host_rng(seed, f"{stream_name}/unlabeled/{epoch}")
+        u_idx = u_rng.integers(0, n_unlabeled, size=(steps, unlabeled_batch_size))
+        keys = jnp.stack(
+            [epoch_key(seed, f"{stream_name}/aug/{epoch}", bi) for bi in range(steps)]
+        )
+        state, losses, _sup, cons, keep, preds = fixmatch_epoch(
+            state,
+            train_dataset.images_u8[jnp.asarray(pidx)],
+            train_dataset.labels_dev[jnp.asarray(pidx)],
+            jnp.asarray(valid),
+            unlabeled_images[jnp.asarray(u_idx)],
+            keys,
+        )
+        train_loss = float(jnp.mean(losses))
+        valid_flat = valid.reshape(-1)
+        train_acc, train_f1 = accuracy_f1(
+            train_dataset.labels[pidx.reshape(-1)[valid_flat]],
+            np.asarray(preds).reshape(-1)[valid_flat],
+        )
+        val_loss, vy, vp, _ = run_eval_epoch(state, val_dataset, batch_size)
+        val_acc, val_f1 = accuracy_f1(vy, vp)
+
+        if val_loss < plateau_best * (1 - 1e-4):
+            plateau_best, plateau_bad = val_loss, 0
+        else:
+            plateau_bad += 1
+            if plateau_bad > plateau_patience:
+                state = set_lr(state, get_lr(state) * plateau_factor)
+                plateau_bad = 0
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        history["train_acc"].append(train_acc)
+        history["val_acc"].append(val_acc)
+        history["train_f1"].append(train_f1)
+        history["val_f1"].append(val_f1)
+        history["consistency_loss"].append(float(jnp.mean(cons)))
+        history["consistency_keep_rate"].append(float(jnp.mean(keep)))
+        LOGGER.info(
+            "FixMatch epoch %d/%d - loss %.4f (cons %.4f, keep %.2f) | val loss %.4f acc %.3f",
+            epoch + 1, num_epochs, train_loss, float(jnp.mean(cons)),
+            float(jnp.mean(keep)), val_loss, val_acc,
+        )
+
+        if val_loss < best_val:
+            best_val, best_state, early = val_loss, state, 0
+        else:
+            early += 1
+            if early >= early_stopping_patience:
+                LOGGER.info("Early stopping triggered at epoch %d", epoch + 1)
+                break
+    return best_state, history

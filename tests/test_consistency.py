@@ -1,0 +1,78 @@
+"""Augmentation-consistency (FixMatch-style) training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssip_tpu.models import ResNet18
+from ssip_tpu.models.host_init import seeded_init_host
+from ssip_tpu.ops.augment import strong_augment, weak_augment
+from ssip_tpu.train.consistency import train_fixmatch
+from ssip_tpu.train.engine import DeviceDataset, TrainState, make_optimizer
+
+IMG = 32
+
+
+def _state():
+    model = ResNet18(num_classes=2)
+    v = seeded_init_host(model, 0, (1, IMG, IMG, 3))
+    return TrainState.create(
+        apply_fn=model.apply, params=v["params"], batch_stats=v["batch_stats"],
+        tx=make_optimizer(1e-3, 1e-4),
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    n = 16
+    labels = np.r_[np.zeros(n // 2, np.int64), np.ones(n // 2, np.int64)]
+    imgs = np.where(
+        labels[:, None, None, None] == 1,
+        rng.integers(160, 255, (n, IMG, IMG, 3)),
+        rng.integers(0, 96, (n, IMG, IMG, 3)),
+    ).astype(np.uint8)
+    pool = np.concatenate(
+        [
+            rng.integers(160, 255, (10, IMG, IMG, 3)),
+            rng.integers(0, 96, (10, IMG, IMG, 3)),
+        ]
+    ).astype(np.uint8)
+    return DeviceDataset.create(jnp.asarray(imgs), labels), jnp.asarray(pool)
+
+
+def test_augment_views_differ(data):
+    _, pool = data
+    key = jax.random.key(0)
+    weak = weak_augment(pool[:4], key)
+    strong = strong_augment(pool[:4], key)
+    assert weak.shape == strong.shape
+    assert not np.allclose(np.asarray(weak), np.asarray(strong))
+    # strong view stays in a sane normalized range
+    assert np.abs(np.asarray(strong)).max() < 10
+
+
+def test_fixmatch_trains_and_reports(data):
+    dataset, pool = data
+    state, history = train_fixmatch(
+        _state(), dataset, dataset, pool,
+        num_epochs=3, batch_size=8, unlabeled_batch_size=8,
+        seed=42, stream_name="fix", consistency_weight=1.0,
+        confidence_threshold=0.6, early_stopping_patience=10,
+    )
+    assert len(history["train_loss"]) == 3
+    assert "consistency_loss" in history and "consistency_keep_rate" in history
+    assert all(0.0 <= k <= 1.0 for k in history["consistency_keep_rate"])
+    assert history["val_loss"][-1] < history["val_loss"][0]  # separable data
+
+
+def test_zero_weight_matches_plain_training_shape(data):
+    dataset, pool = data
+    state, history = train_fixmatch(
+        _state(), dataset, dataset, pool,
+        num_epochs=1, batch_size=8, unlabeled_batch_size=4,
+        seed=42, stream_name="fix0", consistency_weight=0.0,
+        confidence_threshold=0.95,
+    )
+    assert np.isfinite(history["train_loss"][0])

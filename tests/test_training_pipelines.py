@@ -159,6 +159,34 @@ class TestSemiSupervisedArtifacts:
             assert result["TPR"] >= 0.999999
 
 
+def test_semi_pipeline_with_consistency(trained_outputs, tmp_path):
+    """--consistency-weight > 0 switches fine-tuning to FixMatch mode."""
+    root, _, base_cfg, _ = trained_outputs
+    out = tmp_path / "outputs_fm"
+    cfg = TrainingConfig(
+        strong_data_dir=root / "avec_labels",
+        weak_data_dir=root / "sans_label",
+        batch_size=8,
+        image_size=32,
+        baseline_epochs=1,
+        weak_pretrain_epochs=1,
+        finetune_epochs=1,
+        pseudo_label_threshold=0.55,
+        target_recall=0.9,
+        output_dir=out,
+        device="cpu",
+        consistency_weight=1.0,
+        consistency_threshold=0.6,
+    )
+    results = run_pipeline(cfg)
+    assert set(results) == {"baseline_thresholded", "semi_thresholded"}
+    payload = json.loads((out / "notes" / "training_history.json").read_text())
+    assert set(payload["semi_finetune"]) == {
+        "train_loss", "val_loss", "train_acc", "val_acc", "train_f1", "val_f1",
+    }
+    assert (out / "models" / "semi_resnet18.pt").exists()
+
+
 def test_supervised_pipeline_minimal(tmp_path):
     from PIL import Image
 
