@@ -35,6 +35,10 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         "--pretrained-weights", type=Path, default=None,
         help="torch resnet18 state_dict to port as the backbone init",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="snapshot TrainState every epoch and resume an interrupted run",
+    )
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -80,6 +84,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         pretrained_weights=args.pretrained_weights,
         consistency_weight=getattr(args, "consistency_weight", 0.0),
         consistency_threshold=getattr(args, "consistency_threshold", 0.95),
+        resume=getattr(args, "resume", False),
     )
 
 

@@ -164,6 +164,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         batch_size=config.batch_size,
         seed=config.seed,
         stream_name="baseline",
+        resume_path=config.resume_path("baseline"),
         balanced=True,
         augment=True,
         early_stopping_patience=config.early_stopping_patience,
@@ -236,6 +237,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         batch_size=config.batch_size,
         seed=config.seed,
         stream_name="semi_pretrain",
+        resume_path=config.resume_path("semi_pretrain"),
         balanced=True,
         augment=True,
         early_stopping_patience=config.early_stopping_patience,
@@ -287,6 +289,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             seed=config.seed,
             stream_name="semi_finetune",
             balanced=True,
+            resume_path=config.resume_path("semi_finetune"),
             augment=True,
             early_stopping_patience=config.early_stopping_patience,
             checkpoint_fn=lambda s: save_checkpoint(reg.semi_checkpoint, variables_of(s)),
@@ -450,26 +453,9 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
 def _pool_probabilities(
     state: TrainState, pool_images: jax.Array, batch_size: int, pos_index: int
 ) -> np.ndarray:
-    from ssip_tpu.ops.augment import eval_preprocess
+    from ssip_tpu.train.pseudo_label import pool_probabilities
 
-    @partial(jax.jit, static_argnames="pos_index")
-    def probs_step(u8, variables, pos_index):
-        x = eval_preprocess(u8)
-        logits = state.apply_fn(variables, x, train=False)
-        return jax.nn.softmax(logits, axis=1)[:, pos_index]
-
-    variables = jax.device_put(variables_of(state))
-    n = int(pool_images.shape[0])
-    out = []
-    for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
-        pidx = (
-            np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)])
-            if len(idx) < batch_size
-            else idx
-        )
-        p = np.asarray(
-            probs_step(pool_images[jnp.asarray(pidx)], variables, pos_index)
-        )[: len(idx)]
-        out.append(p)
-    return np.concatenate(out)
+    probs = pool_probabilities(
+        state.apply_fn, variables_of(state), pool_images, batch_size
+    )
+    return probs[:, pos_index]

@@ -108,6 +108,7 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         batch_size=config.batch_size,
         seed=config.seed,
         stream_name="baseline",
+        resume_path=config.resume_path("baseline"),
         balanced=True,
         augment=True,
         early_stopping_patience=config.early_stopping_patience,

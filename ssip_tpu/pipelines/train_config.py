@@ -44,6 +44,14 @@ class TrainingConfig:
     # reference-equivalent behavior)
     consistency_weight: float = 0.0
     consistency_threshold: float = 0.95
+    # mid-run resume: snapshot TrainState every epoch under
+    # models/checkpoints/ and restore on restart (preemption-safe training)
+    resume: bool = False
+
+    def resume_path(self, stream: str):
+        if not self.resume:
+            return None
+        return self.artifacts.models_dir / "checkpoints" / f"{stream}.msgpack"
 
     @property
     def artifacts(self) -> ArtifactRegistry:

@@ -49,6 +49,47 @@ def save_checkpoint(path: Path, variables: Dict[str, Any]) -> None:
     LOGGER.info("Saved checkpoint %s (+ .msgpack)", path)
 
 
+def _state_tree(state) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def save_train_snapshot(path: Path, state, driver: Dict[str, Any]) -> None:
+    """Mid-run resume point: full TrainState (params, BN stats, optimizer
+    state, step) as msgpack + epoch-driver scalars/history as a JSON
+    sidecar. One snapshot per training stream, overwritten every epoch —
+    restart granularity is one epoch.
+    """
+    import json
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(jax.device_get(_state_tree(state))))
+    path.with_suffix(path.suffix + ".driver.json").write_text(json.dumps(driver))
+
+
+def load_train_snapshot(path: Path, state_template) -> tuple[Any, Dict[str, Any]]:
+    """Restore (TrainState, driver dict) from a snapshot onto a template."""
+    import json
+
+    path = Path(path)
+    tree = serialization.from_bytes(
+        jax.device_get(_state_tree(state_template)), path.read_bytes()
+    )
+    state = state_template.replace(
+        step=tree["step"],
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+    )
+    driver = json.loads(path.with_suffix(path.suffix + ".driver.json").read_text())
+    return state, driver
+
+
 def load_checkpoint(path: Path, template: Dict[str, Any]) -> Dict[str, Any]:
     """Load from the native msgpack if present, else port the torch .pt."""
     path = Path(path)

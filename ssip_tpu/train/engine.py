@@ -313,8 +313,17 @@ def train_model(
     plateau_factor: float = 0.5,
     trainable_mask: Optional[Any] = None,
     checkpoint_fn: Optional[Callable[[TrainState], None]] = None,
+    resume_path: Optional[Any] = None,
 ) -> Tuple[TrainState, Dict[str, List[float]]]:
-    """Epoch driver with reference-parity control flow (common.py:345-432)."""
+    """Epoch driver with reference-parity control flow (common.py:345-432).
+
+    ``resume_path``: when set, a full snapshot (TrainState + driver state)
+    is written there every epoch, and an existing snapshot restores the run
+    mid-stream — preemption-safe training beyond the reference's
+    final-artifact-only checkpoints.
+    """
+    from pathlib import Path
+
     from ssip_tpu.data.splits import balanced_epoch_indices
 
     train_epoch = make_fused_epoch(augment=augment, trainable_mask=trainable_mask)
@@ -328,8 +337,30 @@ def train_model(
     early_patience = 0
     plateau_best = math.inf
     plateau_bad = 0
+    epoch_start = 0
 
-    for epoch in range(num_epochs):
+    if resume_path is not None and Path(resume_path).exists():
+        from ssip_tpu.train.checkpoints import load_train_snapshot
+
+        state, driver = load_train_snapshot(Path(resume_path), state)
+        history = driver["history"]
+        best_val_loss = driver["best_val_loss"]
+        early_patience = driver["early_patience"]
+        plateau_best = driver["plateau_best"]
+        plateau_bad = driver["plateau_bad"]
+        epoch_start = driver["epoch"] + 1
+        best_path = Path(str(resume_path) + ".best")
+        if best_path.exists():
+            best_state, _ = load_train_snapshot(best_path, state)
+        else:
+            best_state = state
+        LOGGER.info(
+            "Resumed '%s' from %s at epoch %d", stream_name, resume_path, epoch_start
+        )
+        if driver.get("finished"):
+            return best_state, history
+
+    for epoch in range(epoch_start, num_epochs):
         if balanced:
             order = balanced_epoch_indices(
                 train_dataset.labels, seed=seed, epoch=epoch,
@@ -391,16 +422,46 @@ def train_model(
             val_loss, val_acc, val_f1,
         )
 
+        stopped = False
         if val_loss < best_val_loss:
             best_val_loss = val_loss
             best_state = state
             early_patience = 0
             if checkpoint_fn is not None:
                 checkpoint_fn(state)
+            if resume_path is not None:
+                from pathlib import Path as _P
+
+                from ssip_tpu.train.checkpoints import save_train_snapshot
+
+                save_train_snapshot(
+                    _P(str(resume_path) + ".best"), best_state, {"epoch": epoch}
+                )
         else:
             early_patience += 1
             if early_patience >= early_stopping_patience:
                 LOGGER.info("Early stopping triggered at epoch %d", epoch + 1)
-                break
+                stopped = True
+
+        if resume_path is not None:
+            from ssip_tpu.train.checkpoints import save_train_snapshot
+
+            save_train_snapshot(
+                resume_path,
+                state,
+                {
+                    "epoch": epoch,
+                    "history": history,
+                    "best_val_loss": best_val_loss,
+                    "early_patience": early_patience,
+                    "plateau_best": plateau_best,
+                    "plateau_bad": plateau_bad,
+                    # early stop is terminal — resuming must not train more;
+                    # normal completion leaves the run extendable
+                    "finished": stopped,
+                },
+            )
+        if stopped:
+            break
 
     return best_state, history

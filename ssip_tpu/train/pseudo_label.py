@@ -17,6 +17,34 @@ import numpy as np
 from ssip_tpu.ops.augment import eval_preprocess
 
 
+def pool_probabilities(
+    apply_fn, variables, pool_images_u8: jax.Array, batch_size: int
+) -> np.ndarray:
+    """Softmax probabilities [N, C] over a device-resident pool.
+
+    The whole pool runs as ONE fused dispatch: pad to a batch multiple,
+    reshape to [steps, batch, ...], scan the eval forward.
+    """
+
+    @jax.jit
+    def probs_all(images, variables):
+        def step(_, u8):
+            x = eval_preprocess(u8)
+            return None, jax.nn.softmax(apply_fn(variables, x, train=False), axis=1)
+
+        _, probs = jax.lax.scan(step, None, images)
+        return probs
+
+    variables = jax.device_put(variables)
+    n = int(pool_images_u8.shape[0])
+    steps = (n + batch_size - 1) // batch_size
+    padded = steps * batch_size
+    idx = jnp.asarray(np.minimum(np.arange(padded), n - 1))  # clamp-pad
+    images = pool_images_u8[idx].reshape(steps, batch_size, *pool_images_u8.shape[1:])
+    probs = np.asarray(probs_all(images, variables))
+    return probs.reshape(padded, -1)[:n]
+
+
 def generate_pseudo_labels(
     apply_fn,
     variables,
@@ -25,25 +53,8 @@ def generate_pseudo_labels(
     confidence_threshold: float,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(kept_indices, labels, confidences) over the pool, in pool order."""
-
-    @jax.jit
-    def probs_step(u8, variables):
-        x = eval_preprocess(u8)
-        logits = apply_fn(variables, x, train=False)
-        return jax.nn.softmax(logits, axis=1)
-
-    variables = jax.device_put(variables)
-    n = int(pool_images_u8.shape[0])
-    confs: List[np.ndarray] = []
-    preds: List[np.ndarray] = []
-    for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
-        pidx = np.concatenate([idx, np.zeros(batch_size - len(idx), idx.dtype)]) \
-            if len(idx) < batch_size else idx
-        p = np.asarray(probs_step(pool_images_u8[jnp.asarray(pidx)], variables))[: len(idx)]
-        confs.append(p.max(axis=1))
-        preds.append(p.argmax(axis=1))
-    conf = np.concatenate(confs)
-    pred = np.concatenate(preds)
+    probs = pool_probabilities(apply_fn, variables, pool_images_u8, batch_size)
+    conf = probs.max(axis=1)
+    pred = probs.argmax(axis=1)
     keep = np.nonzero(conf >= confidence_threshold)[0]
     return keep, pred[keep], conf[keep]
