@@ -102,7 +102,7 @@ def main() -> None:
     float(embed_all(batches, variables, HI))
 
     rates = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(embed_all(batches, variables, LO))
         t_lo = time.perf_counter() - t0

@@ -150,8 +150,21 @@ class ImageStore:
         raise KeyError(f"Image {index} ({self.paths[index]}) failed to decode")
 
     def gather(self, indices: Sequence[int]) -> np.ndarray:
-        """[len(indices), H, W, 3] batch (odd-size extras resized via PIL)."""
+        """[len(indices), H, W, 3] batch (odd-size extras resized via PIL).
+
+        Fast path: a full in-order gather over a fully-packed store returns
+        the packed array itself (possibly a disk memmap) — ``device_put``
+        then streams straight from it with no intermediate host copy.
+        """
         from PIL import Image
+
+        indices_arr = np.asarray(indices)
+        if (
+            not self._extras
+            and len(indices_arr) == len(self.paths)
+            and np.array_equal(self._packed_index[indices_arr], np.arange(len(self.paths)))
+        ):
+            return self.packed
 
         h, w, c = self.image_shape
         out = np.empty((len(indices), h, w, c), dtype=np.uint8)
