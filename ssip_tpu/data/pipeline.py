@@ -167,12 +167,12 @@ class ImageStore:
             return self.packed
 
         h, w, c = self.image_shape
-        out = np.empty((len(indices), h, w, c), dtype=np.uint8)
-        rows = self._packed_index[np.asarray(indices)]
+        out = np.empty((len(indices_arr), h, w, c), dtype=np.uint8)
+        rows = self._packed_index[indices_arr]
         packed_mask = rows >= 0
         out[packed_mask] = self.packed[rows[packed_mask]]
         for pos in np.nonzero(~packed_mask)[0]:
-            arr = self.get(int(np.asarray(indices)[pos]))
+            arr = self.get(int(indices_arr[pos]))
             if arr.shape != (h, w, c):
                 arr = np.asarray(
                     Image.fromarray(arr).resize((w, h), Image.BILINEAR)

@@ -43,19 +43,29 @@ def initialize(
 
     coordinator_address = coordinator_address or os.environ.get("SSIP_COORDINATOR")
     num_processes = num_processes or int(os.environ.get("SSIP_NUM_PROCESSES", "0") or 0)
-    process_id = (
-        process_id
-        if process_id is not None
-        else int(os.environ.get("SSIP_PROCESS_ID", "-1"))
-    )
+    if process_id is None:
+        env_pid = os.environ.get("SSIP_PROCESS_ID", "") or ""
+        process_id = int(env_pid) if env_pid.strip() else None
 
     if not coordinator_address or num_processes <= 1:
+        if coordinator_address and num_processes <= 1:
+            # a coordinator address is explicit distributed intent — don't
+            # let a missing SSIP_NUM_PROCESSES silently fork N independent
+            # single-host jobs that clobber shared outputs
+            LOGGER.warning(
+                "SSIP_COORDINATOR is set (%s) but SSIP_NUM_PROCESSES is %s — "
+                "running single-process; set SSIP_NUM_PROCESSES to go "
+                "distributed.",
+                coordinator_address, num_processes or "unset",
+            )
         return False
 
     LOGGER.info(
-        "Joining distributed cluster: %s (%d processes, this is %d)",
-        coordinator_address, num_processes, process_id,
+        "Joining distributed cluster: %s (%d processes, this is %s)",
+        coordinator_address, num_processes,
+        "auto" if process_id is None else process_id,
     )
+    # process_id=None lets jax auto-detect on TPU/GKE launchers
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
