@@ -70,7 +70,7 @@ def main() -> None:
     from ssip_tpu.ops.resize import extraction_preprocess
 
     devices = jax.devices()
-    on_tpu = devices[0].platform not in ("cpu",)
+    on_tpu = devices[0].platform == "tpu"
     log(f"devices: {devices}")
 
     BATCH = 128

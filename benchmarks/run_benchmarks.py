@@ -70,7 +70,7 @@ def main() -> None:
     from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
     from ssip_tpu.ops.resize import extraction_preprocess
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = jax.devices()[0].platform == "tpu"
     rng = np.random.default_rng(0)
     B = 128 if on_tpu else 16
     NB = 3 if not args.quick else 2

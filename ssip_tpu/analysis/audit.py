@@ -299,19 +299,21 @@ def write_markdown_report(
 def audit_dataset(
     data_dir: Path, sample_size: int, seed: int, output_root: Path = Path("outputs")
 ) -> pd.DataFrame:
-    tables_dir = output_root / "tables"
-    figures_dir = output_root / "figures"
-    notes_path = output_root / "notes" / "data_audit.md"
-    tables_dir.mkdir(parents=True, exist_ok=True)
+    from ssip_tpu.runtime.artifacts import ArtifactRegistry
+
+    reg = ArtifactRegistry(Path(output_root))
+    figures_dir = reg.figures_dir
+    notes_path = reg.data_audit_md
+    reg.tables_dir.mkdir(parents=True, exist_ok=True)
 
     inventory = discover_files(data_dir)
     dir_summary = summarize_directory_tree(inventory, data_dir)
-    dir_summary.to_csv(tables_dir / "directory_summary.csv", index=False)
+    dir_summary.to_csv(reg.directory_summary_csv, index=False)
 
     sampled = sample_files(inventory, sample_size, seed=seed)
     records = extract_metadata(sampled, data_dir)
     df = records_to_dataframe(records)
-    df.to_csv(tables_dir / "image_summary.csv", index=False)
+    df.to_csv(reg.image_summary_csv, index=False)
 
     save_sample_grid(records, figures_dir / "sample_grid.png")
     save_histograms(df, data_dir, figures_dir)

@@ -68,11 +68,17 @@ def dbscan(X: np.ndarray, eps: float, min_samples: int) -> DBSCANResult:
     )
 
 
-def k_distance_curve(X: np.ndarray, k: int) -> np.ndarray:
-    """Sorted distance to the k-th nearest neighbor (self excluded)."""
+def k_distance_curve(X: np.ndarray, k: int, include_self: bool = False) -> np.ndarray:
+    """Sorted distance to the k-th nearest neighbor.
+
+    ``include_self=True`` reproduces sklearn NearestNeighbors(k).kneighbors
+    semantics where each point's first neighbor is itself (so the curve is
+    the (k-1)-th non-self distance) — what the reference's auto-eps uses.
+    """
     x = jnp.asarray(np.asarray(X, np.float32))
     d2 = _pairwise_d2(x)
-    d2 = d2.at[jnp.arange(d2.shape[0]), jnp.arange(d2.shape[0])].set(jnp.inf)
+    if not include_self:
+        d2 = d2.at[jnp.arange(d2.shape[0]), jnp.arange(d2.shape[0])].set(jnp.inf)
     kth = jnp.sort(d2, axis=1)[:, k - 1]
     return np.sort(np.sqrt(np.asarray(kth)))
 
@@ -80,9 +86,12 @@ def k_distance_curve(X: np.ndarray, k: int) -> np.ndarray:
 def auto_eps_from_kdistance(
     X: np.ndarray, min_samples: int, quantile: float = 0.98
 ) -> float:
-    """eps at the given quantile of the k-distance curve (k = min_samples).
+    """eps at the quantile of the k-distance curve (k = min_samples).
 
-    Semantics: reference clustering.py:430-438.
+    Exact reference semantics (clustering.py:430-438): the kNN query counts
+    the point itself as its first neighbor, and the quantile is the order
+    statistic at index round(q·(n−1)) — not an interpolated quantile.
     """
-    curve = k_distance_curve(X, max(min_samples, 1))
-    return float(np.quantile(curve, quantile))
+    curve = k_distance_curve(X, max(min_samples, 1), include_self=True)
+    idx = int(np.clip(round(quantile * (len(curve) - 1)), 0, len(curve) - 1))
+    return float(curve[idx])

@@ -22,7 +22,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 
 from ssip_tpu.data.discovery import (
     ImageRecord,
@@ -113,6 +113,40 @@ def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
     return variables, f"random_init:seed={cfg.seed}"
 
 
+@_lru_cache(maxsize=8)
+def _embed_fns(resize: int, crop: int, compute_dtype_name: str, use_pallas: bool):
+    """Module-cached jitted embed programs.
+
+    Built once per (chain config, dtype, backend) so repeated callers —
+    notably the per-shard loop in sharded extraction — reuse jit traces and
+    compiled executables instead of re-tracing every call.
+    """
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    model = ResNet18(num_classes=None, compute_dtype=compute_dtype)
+
+    def preprocess(u8: jax.Array) -> jax.Array:
+        if use_pallas:
+            return preprocess_images_pallas(
+                u8, resize=resize, crop=crop, out_dtype=compute_dtype
+            )
+        return extraction_preprocess(u8, resize=resize, crop=crop, dtype=compute_dtype)
+
+    @partial(jax.jit, static_argnames=("steps", "batch"))
+    def embed_corpus(images: jax.Array, variables, steps: int, batch: int) -> jax.Array:
+        batched = images.reshape(steps, batch, *images.shape[1:])
+
+        def body(_, u8):
+            return None, model.apply(variables, preprocess(u8), train=False)
+
+        _, feats = jax.lax.scan(body, None, batched)
+        return feats.reshape(steps * batch, -1)
+
+    embed_step = jax.jit(
+        lambda u8, variables: model.apply(variables, preprocess(u8), train=False)
+    )
+    return embed_corpus, embed_step
+
+
 def run_sanity_checks(embeddings: np.ndarray) -> Dict[str, float]:
     """NaN/inf fail-fast + aggregate stats (schema: reference :334-356)."""
     arr = jnp.asarray(embeddings)
@@ -174,8 +208,6 @@ def extract_embeddings(
     LOGGER.info("Extraction on %s (mesh data=%d)", device_label(devices), mesh.shape["data"])
 
     variables, weights_source = _resolve_weights(cfg)
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    model = ResNet18(num_classes=None, compute_dtype=compute_dtype)
 
     digest = compute_dataset_digest(records)
     store = ImageStore.from_paths(
@@ -189,21 +221,18 @@ def extract_embeddings(
     valid = store.valid_indices()
 
     h, w = store.image_shape[0], store.image_shape[1]
+    # Pallas (Mosaic) kernels are TPU-only — every other backend (cpu, gpu)
+    # takes the equivalent XLA path.
     use_pallas = (
-        devices[0].platform not in ("cpu",) and h == w and store.image_shape[2] == 3
+        devices[0].platform == "tpu" and h == w and store.image_shape[2] == 3
     )
 
     # one fixed batch shape for the whole stream → single executable
     global_batch = pad_to_multiple(cfg.batch_size, mesh.shape["data"])
 
-    def preprocess(u8: jax.Array) -> jax.Array:
-        if use_pallas:
-            return preprocess_images_pallas(
-                u8, resize=cfg.resize, crop=cfg.crop, out_dtype=compute_dtype
-            )
-        return extraction_preprocess(
-            u8, resize=cfg.resize, crop=cfg.crop, dtype=compute_dtype
-        )
+    embed_corpus, embed_step = _embed_fns(
+        cfg.resize, cfg.crop, cfg.compute_dtype, use_pallas
+    )
 
     # Two execution shapes, picked by corpus size:
     #  - resident: stage ALL images in HBM once, embed everything in ONE
@@ -226,17 +255,6 @@ def extract_embeddings(
         n = len(valid)
         padded = pad_to_multiple(n, global_batch)
         steps = padded // global_batch
-
-        @partial(jax.jit, static_argnames=("steps", "batch"))
-        def embed_corpus(images: jax.Array, variables, steps: int, batch: int) -> jax.Array:
-            batched = images.reshape(steps, batch, *images.shape[1:])
-
-            def body(_, u8):
-                feats = model.apply(variables, preprocess(u8), train=False)
-                return None, feats
-
-            _, feats = jax.lax.scan(body, None, batched)
-            return feats.reshape(steps * batch, -1)
 
         staged = store.gather(valid)
         if padded != n:
@@ -264,9 +282,6 @@ def extract_embeddings(
     else:
         chunks: list[np.ndarray] = []
         per_image_times = []
-        embed_step = jax.jit(
-            lambda u8, variables: model.apply(variables, preprocess(u8), train=False)
-        )
         t_batch = t_start
         for batch in iter_device_batches(
             store, valid, global_batch, sharding=sharding, prefetch=2

@@ -79,8 +79,11 @@ def shard_is_complete(
             return False
         if manifest.get("rows") != len(records):
             return False
+        # shards with decode failures legitimately carry fewer embedded rows
+        # than member records — validate against the manifest's own count so
+        # such shards still resume instead of recomputing forever
         arr = np.load(npy, mmap_mode="r")
-        return arr.shape[0] == len(records)
+        return arr.shape[0] == int(manifest.get("embedded_rows", len(records)))
     except Exception as exc:  # noqa: BLE001 — any corruption → recompute
         LOGGER.warning("Shard %d manifest unreadable (%s) — recomputing", index, exc)
         return False
@@ -113,8 +116,13 @@ def run_sharded_extraction(
         npy, manifest_path = shard_paths(shards_dir, index)
         if shard_is_complete(shards_dir, index, shard_records):
             LOGGER.info("Shard %d/%d: reusing completed shard", index + 1, len(shards))
+            manifest = json.loads(manifest_path.read_text())
+            shard_failures = {str(p) for p in manifest.get("failures", [])}
             all_chunks.append(np.load(npy))
-            kept_records.extend(shard_records)
+            kept_records.extend(
+                r for r in shard_records if str(r.absolute_path) not in shard_failures
+            )
+            failures.extend(Path(p) for p in shard_failures)
             continue
         LOGGER.info(
             "Shard %d/%d: extracting %d images", index + 1, len(shards),

@@ -163,8 +163,8 @@ class ArtifactRegistry:
         return self.tables_dir / "directory_summary.csv"
 
     @property
-    def image_metadata_csv(self) -> Path:
-        return self.tables_dir / "image_metadata_sample.csv"
+    def image_summary_csv(self) -> Path:
+        return self.tables_dir / "image_summary.csv"
 
     # -- helpers ------------------------------------------------------------
     def threshold_sweep_csv(self, model: str) -> Path:

@@ -32,6 +32,17 @@ def setup_jax(cache_dir: str | os.PathLike | None = None) -> None:
     if primary == "cpu":
         _CONFIGURED = True
         return
+    # multi-host handshake must happen before backend initialization; no-op
+    # unless SSIP_COORDINATOR/SSIP_NUM_PROCESSES configure a cluster
+    try:
+        from ssip_tpu.parallel.distributed import initialize as _dist_init
+
+        _dist_init()
+    except Exception as exc:  # pragma: no cover - cluster join is best-effort
+        import logging
+
+        logging.getLogger(__name__).warning("distributed init failed: %s", exc)
+
     cache = Path(
         cache_dir
         or os.environ.get("SSIP_JAX_CACHE_DIR")

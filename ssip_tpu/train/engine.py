@@ -74,9 +74,16 @@ def get_lr(state: TrainState) -> float:
 
 
 def set_lr(state: TrainState, lr: float) -> TrainState:
+    """New TrainState with the LR replaced FUNCTIONALLY.
+
+    In-place mutation of ``opt_state.hyperparams`` would retroactively change
+    the LR of every state sharing that opt_state object (e.g. the captured
+    best-val state) — PyTreeNodes must stay immutable.
+    """
     opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return state.replace(opt_state=opt_state)
+    new_hyper = dict(opt_state.hyperparams)
+    new_hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state._replace(hyperparams=new_hyper))
 
 
 def _step_core(
@@ -367,9 +374,11 @@ def train_model(
                 num_samples=len(train_dataset),
             )
         else:
-            rng = np.random.default_rng(
-                np.random.SeedSequence([seed, hash(stream_name) % (2**31), epoch])
-            )
+            from ssip_tpu.runtime.prng import host_rng
+
+            # host_rng folds the stream name through sha256 — stable across
+            # processes, unlike Python's per-process-salted hash()
+            rng = host_rng(seed, f"shuffle/{stream_name}/{epoch}")
             order = rng.permutation(len(train_dataset))
 
         # whole epoch in one fused dispatch

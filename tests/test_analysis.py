@@ -106,8 +106,13 @@ class TestDBSCAN:
         nn = NearestNeighbors(n_neighbors=6).fit(X)  # incl self
         ref_curve = np.sort(nn.kneighbors(X)[0][:, -1])
         np.testing.assert_allclose(curve, ref_curve, atol=1e-3)
+        # auto-eps: exact reference semantics (self-inclusive kNN + order
+        # statistic at round(q*(n-1)) — reference clustering.py:430-438)
+        nn_ref = NearestNeighbors(n_neighbors=5).fit(X)
+        kth = np.sort(nn_ref.kneighbors(X)[0][:, -1])
+        idx = int(np.clip(round(0.98 * (len(kth) - 1)), 0, len(kth) - 1))
         eps = auto_eps_from_kdistance(X, 5, 0.98)
-        assert eps == pytest.approx(float(np.quantile(ref_curve, 0.98)), abs=1e-3)
+        assert eps == pytest.approx(float(kth[idx]), abs=1e-3)
 
 
 class TestClusterMetrics:

@@ -53,6 +53,32 @@ class TestShardedExtraction:
         meta = json.loads((out / "features" / "metadata.json").read_text())
         assert meta["num_images"] == 22
 
+    def test_resume_with_decode_failures(self, tiny_image_tree, tmp_path):
+        """Shards containing failed decodes must still validate on resume."""
+        import time as _time
+
+        from ssip_tpu.pipelines.extraction import ExtractionConfig
+        from ssip_tpu.pipelines.sharded_extraction import run_sharded_extraction
+
+        bad = tiny_image_tree / "sans_label" / "broken.jpg"
+        bad.write_bytes(b"junk")
+        out = tmp_path / "outputs"
+        cfg = ExtractionConfig(
+            data_dir=tiny_image_tree, output_dir=out, batch_size=8,
+            device="cpu", cache_decoded=False,
+        )
+        s1 = run_sharded_extraction(cfg, shard_size=8)
+        assert s1.embeddings.shape[0] == 22  # 23 files - 1 failure
+        assert len(s1.failures) == 1
+
+        # re-run: every shard (incl. the failure-bearing one) must be reused
+        t0 = _time.perf_counter()
+        s2 = run_sharded_extraction(cfg, shard_size=8)
+        assert _time.perf_counter() - t0 < 10  # reuse, not recompute
+        np.testing.assert_array_equal(s1.embeddings, s2.embeddings)
+        assert len(s2.failures) == 1
+        assert len(s2.records) == 22
+
     def test_shard_size_change_recomputes_cleanly(self, tiny_image_tree, tmp_path):
         from ssip_tpu.pipelines.extraction import ExtractionConfig
         from ssip_tpu.pipelines.sharded_extraction import run_sharded_extraction
