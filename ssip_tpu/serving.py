@@ -1,0 +1,168 @@
+"""Production inference: a compiled screening predictor.
+
+Deployment-side counterpart to the training pipelines (beyond the
+reference's capability — its closest analog is the one-off triage pass in
+semi_supervised.py:472-511): load a trained checkpoint + the calibrated
+operating point once, then serve batched predictions with the whole
+hot path — fused preprocessing, bf16 forward, softmax, thresholding —
+inside a single compiled program per batch shape.
+
+Usage (library):
+    predictor = ScreeningPredictor.from_artifacts("outputs", model="semi")
+    result = predictor.predict_paths(list_of_jpegs)
+
+CLI: ``python -m src.predict --images DIR [--model semi]``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssip_tpu.models import ResNet18
+from ssip_tpu.models.host_init import seeded_init_host
+from ssip_tpu.runtime.artifacts import ArtifactRegistry
+from ssip_tpu.runtime.logging import get_logger
+from ssip_tpu.train.checkpoints import load_checkpoint
+
+LOGGER = get_logger(__name__)
+
+
+@dataclass
+class PredictionResult:
+    paths: List[str]
+    prob_positive: np.ndarray
+    flagged: np.ndarray
+    threshold: float
+    positive_class: str
+
+
+class ScreeningPredictor:
+    """Checkpoint + operating point compiled into a batch predictor."""
+
+    def __init__(
+        self,
+        variables,
+        threshold: float,
+        positive_class: str,
+        pos_index: int,
+        image_size: int = 224,
+        batch_size: int = 64,
+        compute_dtype: str = "bfloat16",
+    ) -> None:
+        self.threshold = float(threshold)
+        self.positive_class = positive_class
+        self.pos_index = int(pos_index)
+        self.image_size = image_size
+        self.batch_size = batch_size
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self._model = ResNet18(num_classes=2, compute_dtype=dtype)
+        self._variables = jax.device_put(variables)
+
+        @partial(jax.jit, static_argnames=("steps", "batch"))
+        def predict_program(images_u8, variables, steps: int, batch: int):
+            batched = images_u8.reshape(steps, batch, *images_u8.shape[1:])
+
+            def body(_, u8):
+                # serving inputs are already eval-resized [S, S, 3]
+                x = (u8.astype(jnp.float32) / 255.0)
+                from ssip_tpu.ops.resize import normalize_imagenet
+
+                x = normalize_imagenet(x, dtype=dtype)
+                logits = self._model.apply(variables, x, train=False)
+                return None, jax.nn.softmax(logits, axis=1)
+
+            _, probs = jax.lax.scan(body, None, batched)
+            return probs.reshape(steps * batch, -1)
+
+        self._predict_program = predict_program
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_artifacts(
+        cls,
+        output_dir: Path | str = "outputs",
+        model: str = "semi",
+        batch_size: int = 64,
+        image_size: int = 224,
+        compute_dtype: str = "bfloat16",
+    ) -> "ScreeningPredictor":
+        """Load checkpoint + operating_point.json from a pipeline run."""
+        reg = ArtifactRegistry(Path(output_dir))
+        ckpt = reg.semi_checkpoint if model == "semi" else reg.baseline_checkpoint
+        template = seeded_init_host(
+            ResNet18(num_classes=2), 0, (1, image_size, image_size, 3)
+        )
+        variables = load_checkpoint(ckpt, template)
+
+        threshold, positive_class = 0.5, "cancer"
+        op_path = reg.operating_point_json
+        if op_path.exists():
+            op = json.loads(op_path.read_text())
+            if op.get("threshold") is not None:
+                threshold = float(op["threshold"])
+            positive_class = op.get("positive_class", positive_class)
+        else:
+            LOGGER.warning(
+                "No operating_point.json under %s — defaulting threshold 0.5",
+                output_dir,
+            )
+        # class indexing: sorted class dirs → cancer=0, normal=1
+        pos_index = 0 if positive_class == "cancer" else 1
+        LOGGER.info(
+            "Predictor ready: %s checkpoint, threshold %.4f on '%s'",
+            model, threshold, positive_class,
+        )
+        return cls(
+            variables, threshold, positive_class, pos_index,
+            image_size=image_size, batch_size=batch_size,
+            compute_dtype=compute_dtype,
+        )
+
+    # -- inference ----------------------------------------------------------
+    def predict_images(self, images_u8: np.ndarray, paths: Optional[Sequence] = None):
+        """images_u8: [N, S, S, 3] eval-resized uint8 (any N; padded inside)."""
+        n = int(images_u8.shape[0])
+        steps = max(1, (n + self.batch_size - 1) // self.batch_size)
+        padded = steps * self.batch_size
+        idx = np.minimum(np.arange(padded), n - 1)
+        staged = jnp.asarray(np.asarray(images_u8)[idx])
+        probs = np.asarray(
+            self._predict_program(
+                staged, self._variables, steps=steps, batch=self.batch_size
+            )
+        )[:n]
+        pos_probs = probs[:, self.pos_index]
+        return PredictionResult(
+            paths=[str(p) for p in (paths or range(n))],
+            prob_positive=pos_probs,
+            flagged=pos_probs >= self.threshold,
+            threshold=self.threshold,
+            positive_class=self.positive_class,
+        )
+
+    def predict_paths(self, paths: Sequence[Path], num_threads: int = 4):
+        """Decode → eval-resize → predict, end to end."""
+        from ssip_tpu.data.decode import decode_batch
+
+        arrays, failures = decode_batch(
+            [Path(p) for p in paths], convert_rgb=True, num_threads=num_threads
+        )
+        kept = [(p, a) for p, a in zip(paths, arrays) if a is not None]
+        if failures:
+            LOGGER.warning("Skipping %d undecodable images", len(failures))
+        if not kept:
+            raise RuntimeError("No decodable images to predict")
+        from ssip_tpu.train.data import _resize_on_device
+
+        resized = np.asarray(
+            _resize_on_device([a for _, a in kept], self.image_size)
+        )
+        return self.predict_images(resized, paths=[p for p, _ in kept])
