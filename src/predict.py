@@ -26,6 +26,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--threshold", type=float, default=None,
                         help="override the calibrated operating threshold")
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument(
+        "--compute-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="float32 (default) matches the calibration-time probabilities "
+        "exactly; bfloat16 trades O(1e-2) probability shift for throughput",
+    )
     return parser.parse_args(argv)
 
 
@@ -38,7 +43,8 @@ def main(argv=None) -> None:
     from ssip_tpu.serving import ScreeningPredictor
 
     predictor = ScreeningPredictor.from_artifacts(
-        args.output_dir, model=args.model, batch_size=args.batch_size
+        args.output_dir, model=args.model, batch_size=args.batch_size,
+        compute_dtype=args.compute_dtype,
     )
     if args.threshold is not None:
         predictor.threshold = float(args.threshold)

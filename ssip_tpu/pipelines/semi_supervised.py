@@ -402,6 +402,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             "model": "semi_supervised_resnet18",
             "checkpoint": str(reg.semi_checkpoint),
             "positive_class": config.positive_class,
+            "classes": list(classes),  # serving derives pos_index from this
             "threshold": semi_thr_metrics.get("threshold"),
             "policy": semi_thr_metrics.get("threshold_policy"),
             "target_recall": config.target_recall,

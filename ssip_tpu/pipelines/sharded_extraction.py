@@ -117,11 +117,14 @@ def run_sharded_extraction(
         if shard_is_complete(shards_dir, index, shard_records):
             LOGGER.info("Shard %d/%d: reusing completed shard", index + 1, len(shards))
             manifest = json.loads(manifest_path.read_text())
-            shard_failures = {str(p) for p in manifest.get("failures", [])}
+            shard_failures = [str(p) for p in manifest.get("failures", [])]
+            failure_set = set(shard_failures)
             all_chunks.append(np.load(npy))
             kept_records.extend(
-                r for r in shard_records if str(r.absolute_path) not in shard_failures
+                r for r in shard_records if str(r.absolute_path) not in failure_set
             )
+            # keep the manifest's (ordered) list — set iteration order is
+            # per-process salted and would make feature_summary.md unstable
             failures.extend(Path(p) for p in shard_failures)
             continue
         LOGGER.info(

@@ -69,7 +69,11 @@ def plot_k_distance(
 ) -> None:
     output_path = Path(output_path)
     output_path.parent.mkdir(parents=True, exist_ok=True)
-    curve = k_distance_curve(embedding.data, max(int(min_samples), 1))
+    # self-inclusive kNN semantics — the SAME curve auto_eps_from_kdistance
+    # takes its quantile from, so eps can be read off this plot
+    curve = k_distance_curve(
+        embedding.data, max(int(min_samples), 1), include_self=True
+    )
     fig, ax = plt.subplots(figsize=(6, 4))
     ax.plot(curve)
     ax.set_xlabel("Points (sorted)")

@@ -33,15 +33,13 @@ def setup_jax(cache_dir: str | os.PathLike | None = None) -> None:
         _CONFIGURED = True
         return
     # multi-host handshake must happen before backend initialization; no-op
-    # unless SSIP_COORDINATOR/SSIP_NUM_PROCESSES configure a cluster
-    try:
-        from ssip_tpu.parallel.distributed import initialize as _dist_init
+    # unless SSIP_COORDINATOR/SSIP_NUM_PROCESSES configure a cluster. An
+    # explicitly configured cluster that fails to join is FATAL — degrading
+    # to N independent single-host jobs would silently clobber shared
+    # outputs/, which is worse than crashing.
+    from ssip_tpu.parallel.distributed import initialize as _dist_init
 
-        _dist_init()
-    except Exception as exc:  # pragma: no cover - cluster join is best-effort
-        import logging
-
-        logging.getLogger(__name__).warning("distributed init failed: %s", exc)
+    _dist_init()
 
     cache = Path(
         cache_dir

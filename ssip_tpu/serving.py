@@ -55,7 +55,7 @@ class ScreeningPredictor:
         pos_index: int,
         image_size: int = 224,
         batch_size: int = 64,
-        compute_dtype: str = "bfloat16",
+        compute_dtype: str = "float32",
     ) -> None:
         self.threshold = float(threshold)
         self.positive_class = positive_class
@@ -71,11 +71,13 @@ class ScreeningPredictor:
             batched = images_u8.reshape(steps, batch, *images_u8.shape[1:])
 
             def body(_, u8):
-                # serving inputs are already eval-resized [S, S, 3]
-                x = (u8.astype(jnp.float32) / 255.0)
-                from ssip_tpu.ops.resize import normalize_imagenet
+                from ssip_tpu.ops.augment import eval_preprocess
 
-                x = normalize_imagenet(x, dtype=dtype)
+                # serving inputs are already eval-resized [S, S, 3]; the
+                # normalization is the SAME eval chain training used — any
+                # divergence here would desynchronize serving from the
+                # calibrated operating point
+                x = eval_preprocess(u8, dtype=dtype)
                 logits = self._model.apply(variables, x, train=False)
                 return None, jax.nn.softmax(logits, axis=1)
 
@@ -92,7 +94,7 @@ class ScreeningPredictor:
         model: str = "semi",
         batch_size: int = 64,
         image_size: int = 224,
-        compute_dtype: str = "bfloat16",
+        compute_dtype: str = "float32",
     ) -> "ScreeningPredictor":
         """Load checkpoint + operating_point.json from a pipeline run."""
         reg = ArtifactRegistry(Path(output_dir))
@@ -103,19 +105,29 @@ class ScreeningPredictor:
         variables = load_checkpoint(ckpt, template)
 
         threshold, positive_class = 0.5, "cancer"
+        classes = None
         op_path = reg.operating_point_json
         if op_path.exists():
             op = json.loads(op_path.read_text())
             if op.get("threshold") is not None:
                 threshold = float(op["threshold"])
             positive_class = op.get("positive_class", positive_class)
+            classes = op.get("classes")
         else:
             LOGGER.warning(
                 "No operating_point.json under %s — defaulting threshold 0.5",
                 output_dir,
             )
-        # class indexing: sorted class dirs → cancer=0, normal=1
-        pos_index = 0 if positive_class == "cancer" else 1
+        if classes and positive_class in classes:
+            pos_index = classes.index(positive_class)
+        else:
+            # legacy operating points lack the class list; fall back to the
+            # default dataset's sorted-dir convention (cancer=0, normal=1)
+            LOGGER.warning(
+                "operating_point.json has no class list — assuming sorted "
+                "class dirs for pos_index of '%s'", positive_class,
+            )
+            pos_index = 0 if positive_class == "cancer" else 1
         LOGGER.info(
             "Predictor ready: %s checkpoint, threshold %.4f on '%s'",
             model, threshold, positive_class,
@@ -130,6 +142,11 @@ class ScreeningPredictor:
     def predict_images(self, images_u8: np.ndarray, paths: Optional[Sequence] = None):
         """images_u8: [N, S, S, 3] eval-resized uint8 (any N; padded inside)."""
         n = int(images_u8.shape[0])
+        if n == 0:
+            return PredictionResult(
+                paths=[], prob_positive=np.empty(0), flagged=np.empty(0, bool),
+                threshold=self.threshold, positive_class=self.positive_class,
+            )
         steps = max(1, (n + self.batch_size - 1) // self.batch_size)
         padded = steps * self.batch_size
         idx = np.minimum(np.arange(padded), n - 1)
