@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -68,14 +69,49 @@ def dbscan(X: np.ndarray, eps: float, min_samples: int) -> DBSCANResult:
     )
 
 
+# Above this many rows, the [N, N] distance matrix stops fitting comfortably
+# and the k-distance computation switches to blocked row-chunks (bounded
+# memory: one [CHUNK, N] tile at a time, scanned by XLA).
+_DENSE_LIMIT = 8192
+_CHUNK = 1024
+
+
+@partial(jax.jit, static_argnames=("k", "include_self"))
+def _kth_distance_blocked(x: jnp.ndarray, k: int, include_self: bool) -> jnp.ndarray:
+    """k-th-NN distance per row with O(CHUNK·N) memory (corpus-scale path)."""
+    n = x.shape[0]
+    padded = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK
+    idx = jnp.minimum(jnp.arange(padded), n - 1)
+    sq = jnp.sum(x * x, axis=1)
+
+    def chunk_kth(start):
+        rows = jax.lax.dynamic_slice(idx, (start,), (_CHUNK,))
+        xc = x[rows]
+        d2 = jnp.maximum(sq[rows][:, None] + sq[None, :] - 2.0 * (xc @ x.T), 0.0)
+        if not include_self:
+            cols = jnp.arange(n)[None, :]
+            d2 = jnp.where(cols == rows[:, None], jnp.inf, d2)
+        # k-th smallest via top_k on negated distances
+        neg_topk, _ = jax.lax.top_k(-d2, k)
+        return -neg_topk[:, k - 1]
+
+    starts = jnp.arange(0, padded, _CHUNK)
+    kth = jax.lax.map(chunk_kth, starts).reshape(-1)[:n]
+    return kth
+
+
 def k_distance_curve(X: np.ndarray, k: int, include_self: bool = False) -> np.ndarray:
     """Sorted distance to the k-th nearest neighbor.
 
     ``include_self=True`` reproduces sklearn NearestNeighbors(k).kneighbors
     semantics where each point's first neighbor is itself (so the curve is
     the (k-1)-th non-self distance) — what the reference's auto-eps uses.
+    Large inputs take the blocked path (bounded memory) automatically.
     """
     x = jnp.asarray(np.asarray(X, np.float32))
+    if x.shape[0] > _DENSE_LIMIT:
+        kth = _kth_distance_blocked(x, int(k), bool(include_self))
+        return np.sort(np.sqrt(np.asarray(kth)))
     d2 = _pairwise_d2(x)
     if not include_self:
         d2 = d2.at[jnp.arange(d2.shape[0]), jnp.arange(d2.shape[0])].set(jnp.inf)

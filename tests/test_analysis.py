@@ -97,6 +97,22 @@ class TestDBSCAN:
                 ours.core_mask, np.isin(np.arange(len(X)), ref.core_sample_indices_)
             )
 
+    def test_kdistance_blocked_matches_dense(self, blobs):
+        from ssip_tpu.analysis import dbscan as D
+
+        X, _ = blobs
+        dense = k_distance_curve(X, 5, include_self=True)
+        blocked = np.sort(
+            np.sqrt(np.asarray(D._kth_distance_blocked(np.asarray(X, np.float32), 5, True)))
+        )
+        np.testing.assert_allclose(blocked, dense, atol=1e-4)
+        # self-excluded variant too
+        dense2 = k_distance_curve(X, 5, include_self=False)
+        blocked2 = np.sort(
+            np.sqrt(np.asarray(D._kth_distance_blocked(np.asarray(X, np.float32), 5, False)))
+        )
+        np.testing.assert_allclose(blocked2, dense2, atol=1e-4)
+
     def test_kdistance_and_auto_eps(self, blobs):
         X, _ = blobs
         curve = k_distance_curve(X, 5)
