@@ -58,6 +58,18 @@ def build_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def training_mesh(data: Optional[int] = None, model: int = 1) -> Mesh:
+    """Data-parallel training mesh over ``data`` devices (default: all).
+
+    The default makes every training/eval epoch data-parallel out of the
+    box: on one chip it degenerates to the single-device program; on a pod
+    slice the batch axis shards over ICI with XLA-inserted gradient psums.
+    """
+    devices = jax.devices()
+    n = int(data) if data is not None else max(1, len(devices) // max(1, model))
+    return build_mesh(MeshSpec(data=n, model=model), devices=devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis; replicate rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

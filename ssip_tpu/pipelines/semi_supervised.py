@@ -92,15 +92,17 @@ def resolve_cohort_paths(
 
 
 def _threshold_and_eval(
-    state, datasets, config: TrainingConfig, pos_index: int, label: str
+    state, datasets, config: TrainingConfig, pos_index: int, label: str,
+    mesh=None,
 ):
     """(argmax + thresholded) eval pair for one model."""
     arg_metrics, arg_y_true, arg_y_pred, y_prob = evaluate_model(
-        state, datasets["test"], config.batch_size
+        state, datasets["test"], config.batch_size, mesh=mesh
     )
     if config.target_recall is not None:
         _m, y_true_val, _p, y_prob_val = evaluate_model(
-            state, datasets["val"], config.batch_size, pos_index=pos_index
+            state, datasets["val"], config.batch_size, pos_index=pos_index,
+            mesh=mesh,
         )
         thr, thr_meta = select_operating_threshold(
             (y_true_val == pos_index).astype(int),
@@ -112,7 +114,7 @@ def _threshold_and_eval(
         )
         thr_metrics, thr_y_true, thr_y_pred, thr_y_prob = evaluate_model(
             state, datasets["test"], config.batch_size,
-            pos_index=pos_index, threshold=thr,
+            pos_index=pos_index, threshold=thr, mesh=mesh,
         )
         thr_metrics.update(
             threshold=float(thr),
@@ -153,6 +155,9 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         )
     pos_index = classes.index(config.positive_class)
 
+    mesh = config.build_mesh()
+    LOGGER.info("Training mesh: %s", dict(mesh.shape))
+
     # ---- Phase A: baseline ------------------------------------------------
     baseline_state, _ = build_classifier_state(config, len(classes), config.learning_rate)
     t0 = time.time()
@@ -169,6 +174,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         augment=True,
         early_stopping_patience=config.early_stopping_patience,
         checkpoint_fn=lambda s: save_checkpoint(reg.baseline_checkpoint, variables_of(s)),
+        mesh=mesh,
     )
     baseline_time = time.time() - t0
     plot_training_curves(baseline_history, reg.baseline_curves_png, "Baseline")
@@ -177,7 +183,9 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         base_arg_metrics, base_arg_y_true, base_arg_y_pred, base_y_prob,
         thr_baseline, base_thr_metrics, base_thr_y_true, base_thr_y_pred,
         base_thr_y_prob,
-    ) = _threshold_and_eval(baseline_state, datasets, config, pos_index, "baseline")
+    ) = _threshold_and_eval(
+        baseline_state, datasets, config, pos_index, "baseline", mesh=mesh
+    )
     base_arg_metrics["training_time_sec"] = baseline_time
     base_thr_metrics["training_time_sec"] = baseline_time
 
@@ -242,6 +250,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         augment=True,
         early_stopping_patience=config.early_stopping_patience,
         trainable_mask=trainable_mask,
+        mesh=mesh,
     )
 
     # ---- Phase D: fine-tune (unfrozen, lr/2) -----------------------------
@@ -293,6 +302,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             augment=True,
             early_stopping_patience=config.early_stopping_patience,
             checkpoint_fn=lambda s: save_checkpoint(reg.semi_checkpoint, variables_of(s)),
+            mesh=mesh,
         )
     semi_time = time.time() - t0
 
@@ -300,7 +310,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         semi_arg_metrics, semi_arg_y_true, semi_arg_y_pred, semi_y_prob,
         thr_semi, semi_thr_metrics, semi_thr_y_true, semi_thr_y_pred,
         semi_thr_y_prob,
-    ) = _threshold_and_eval(semi_state, datasets, config, pos_index, "semi")
+    ) = _threshold_and_eval(semi_state, datasets, config, pos_index, "semi", mesh=mesh)
     semi_arg_metrics["training_time_sec"] = semi_time
     semi_thr_metrics["training_time_sec"] = semi_time
 

@@ -97,6 +97,8 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         )
     pos_index = classes.index(config.positive_class)
 
+    mesh = config.build_mesh()
+    LOGGER.info("Training mesh: %s", dict(mesh.shape))
     state, _model = build_classifier_state(config, len(classes), config.learning_rate)
 
     t0 = time.time()
@@ -113,17 +115,19 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         augment=True,
         early_stopping_patience=config.early_stopping_patience,
         checkpoint_fn=lambda s: save_checkpoint(reg.baseline_checkpoint, variables_of(s)),
+        mesh=mesh,
     )
     train_time = time.time() - t0
 
     arg_metrics, arg_y_true, arg_y_pred, y_prob_test = evaluate_model(
-        state, datasets["test"], config.batch_size
+        state, datasets["test"], config.batch_size, mesh=mesh
     )
     arg_metrics["training_time_sec"] = train_time
 
     if config.target_recall is not None:
         _m, y_true_val, _p, y_prob_val = evaluate_model(
-            state, datasets["val"], config.batch_size, pos_index=pos_index
+            state, datasets["val"], config.batch_size, pos_index=pos_index,
+            mesh=mesh,
         )
         thr, thr_meta = select_operating_threshold(
             (y_true_val == pos_index).astype(int),
@@ -135,7 +139,7 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         )
         thr_metrics, thr_y_true, thr_y_pred, thr_y_prob = evaluate_model(
             state, datasets["test"], config.batch_size,
-            pos_index=pos_index, threshold=thr,
+            pos_index=pos_index, threshold=thr, mesh=mesh,
         )
         thr_metrics.update(
             threshold=float(thr),

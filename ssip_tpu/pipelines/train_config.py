@@ -47,6 +47,15 @@ class TrainingConfig:
     # mid-run resume: snapshot TrainState every epoch under
     # models/checkpoints/ and restore on restart (preemption-safe training)
     resume: bool = False
+    # data-parallel degree: devices on the mesh's data axis for train/eval
+    # steps (None = all local devices). Sync-BN over the global batch keeps
+    # the trajectory device-count invariant.
+    mesh_data: Optional[int] = None
+
+    def build_mesh(self):
+        from ssip_tpu.parallel.mesh import training_mesh
+
+        return training_mesh(self.mesh_data)
 
     def resume_path(self, stream: str):
         if not self.resume:

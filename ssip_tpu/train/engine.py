@@ -261,12 +261,23 @@ def _pad_batch(idx: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.ndarray
     return idx, valid
 
 
-def _stacked_epoch(order: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
-    """[steps, batch] index + valid arrays (final batch zero-padded)."""
+def _stacked_epoch(
+    order: np.ndarray, batch_size: int, row_width: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[steps, row] index + valid arrays (padding rows marked invalid).
+
+    ``row_width`` (>= batch_size) pads every step's batch axis to a fixed
+    width — used to round batches up to a multiple of the mesh data-axis
+    size so the sharded batch divides evenly. Padding rows carry
+    ``valid=False`` and are inert: masked out of the loss, of MaskedBatchNorm
+    statistics, and of metrics.
+    """
     order = np.asarray(order)
+    row = row_width if row_width is not None else batch_size
+    assert row >= batch_size
     steps = max(1, (len(order) + batch_size - 1) // batch_size)
-    pidx = np.zeros((steps, batch_size), order.dtype if order.size else np.int64)
-    valid = np.zeros((steps, batch_size), bool)
+    pidx = np.zeros((steps, row), order.dtype if order.size else np.int64)
+    valid = np.zeros((steps, row), bool)
     for s in range(steps):
         chunk = order[s * batch_size : (s + 1) * batch_size]
         pidx[s, : len(chunk)] = chunk
@@ -274,14 +285,35 @@ def _stacked_epoch(order: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.n
     return pidx, valid
 
 
+def _epoch_shardings(mesh) -> Tuple[Any, Any]:
+    """(stacked-batch sharding P(None, 'data'), replicated sharding P())."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ssip_tpu.parallel.mesh import DATA_AXIS
+
+    return (
+        NamedSharding(mesh, P(None, DATA_AXIS)),
+        NamedSharding(mesh, P()),
+    )
+
+
+def _mesh_row_width(mesh, batch_size: int) -> int:
+    from ssip_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
+
+    return pad_to_multiple(batch_size, mesh.shape[DATA_AXIS])
+
+
 def run_eval_epoch(
-    state_or_vars, dataset: DeviceDataset, batch_size: int, apply_fn=None
+    state_or_vars, dataset: DeviceDataset, batch_size: int, apply_fn=None,
+    mesh=None,
 ) -> Tuple[float, np.ndarray, np.ndarray, np.ndarray]:
     """(avg_loss, y_true, y_pred, y_prob_full[N, C]) over the dataset in order.
 
     The whole epoch runs as ONE fused dispatch (scan over batches); loss
     averaging matches the reference: mean of per-batch mean losses
-    (reference common.py:317-342).
+    (reference common.py:317-342). With ``mesh``, each step's batch axis is
+    sharded over the mesh's data axis (params replicated) — data-parallel
+    eval with identical metrics at any device count.
     """
     if isinstance(state_or_vars, TrainState):
         apply_fn = state_or_vars.apply_fn
@@ -290,12 +322,20 @@ def run_eval_epoch(
         params, batch_stats = state_or_vars["params"], state_or_vars["batch_stats"]
 
     n = len(dataset)
-    pidx, valid = _stacked_epoch(np.arange(n), batch_size)
+    row_width = _mesh_row_width(mesh, batch_size) if mesh is not None else None
+    pidx, valid = _stacked_epoch(np.arange(n), batch_size, row_width)
+    images = dataset.images_u8[jnp.asarray(pidx)]
+    labels = dataset.labels_dev[jnp.asarray(pidx)]
+    valid_dev = jnp.asarray(valid)
+    if mesh is not None:
+        batch_sh, rep_sh = _epoch_shardings(mesh)
+        images = jax.device_put(images, batch_sh)
+        labels = jax.device_put(labels, batch_sh)
+        valid_dev = jax.device_put(valid_dev, batch_sh)
+        params = jax.device_put(params, rep_sh)
+        batch_stats = jax.device_put(batch_stats, rep_sh)
     losses, preds, probs = eval_epoch_fused(
-        apply_fn, params, batch_stats,
-        dataset.images_u8[jnp.asarray(pidx)],
-        dataset.labels_dev[jnp.asarray(pidx)],
-        jnp.asarray(valid),
+        apply_fn, params, batch_stats, images, labels, valid_dev,
     )
     valid_flat = valid.reshape(-1)
     y_pred = np.asarray(preds).reshape(-1)[valid_flat]
@@ -321,6 +361,7 @@ def train_model(
     trainable_mask: Optional[Any] = None,
     checkpoint_fn: Optional[Callable[[TrainState], None]] = None,
     resume_path: Optional[Any] = None,
+    mesh=None,
 ) -> Tuple[TrainState, Dict[str, List[float]]]:
     """Epoch driver with reference-parity control flow (common.py:345-432).
 
@@ -328,12 +369,25 @@ def train_model(
     is written there every epoch, and an existing snapshot restores the run
     mid-stream — preemption-safe training beyond the reference's
     final-artifact-only checkpoints.
+
+    ``mesh``: data-parallel training. Params/opt state are replicated over
+    the mesh and each step's batch axis is sharded over the ``data`` axis —
+    XLA inserts the gradient psum and computes BN statistics from the
+    *global* batch (sync-BN), so the training trajectory matches the
+    single-device run at any device count (reference semantics anchor:
+    common.py:345-432 — same metrics from the same data).
     """
     from pathlib import Path
 
     from ssip_tpu.data.splits import balanced_epoch_indices
 
     train_epoch = make_fused_epoch(augment=augment, trainable_mask=trainable_mask)
+    batch_sh = rep_sh = None
+    row_width = None
+    if mesh is not None:
+        batch_sh, rep_sh = _epoch_shardings(mesh)
+        row_width = _mesh_row_width(mesh, batch_size)
+        state = jax.device_put(state, rep_sh)
     history: Dict[str, List[float]] = {
         "train_loss": [], "val_loss": [], "train_acc": [],
         "val_acc": [], "train_f1": [], "val_f1": [],
@@ -350,6 +404,8 @@ def train_model(
         from ssip_tpu.train.checkpoints import load_train_snapshot
 
         state, driver = load_train_snapshot(Path(resume_path), state)
+        if mesh is not None:
+            state = jax.device_put(state, rep_sh)
         history = driver["history"]
         best_val_loss = driver["best_val_loss"]
         early_patience = driver["early_patience"]
@@ -382,19 +438,23 @@ def train_model(
             order = rng.permutation(len(train_dataset))
 
         # whole epoch in one fused dispatch
-        pidx, valid = _stacked_epoch(order, batch_size)
+        pidx, valid = _stacked_epoch(order, batch_size, row_width)
         keys = jnp.stack(
             [
                 epoch_key(seed, f"{stream_name}/aug/{epoch}", bi)
                 for bi in range(pidx.shape[0])
             ]
         )
+        images = train_dataset.images_u8[jnp.asarray(pidx)]
+        labels = train_dataset.labels_dev[jnp.asarray(pidx)]
+        valid_dev = jnp.asarray(valid)
+        if mesh is not None:
+            images = jax.device_put(images, batch_sh)
+            labels = jax.device_put(labels, batch_sh)
+            valid_dev = jax.device_put(valid_dev, batch_sh)
+            keys = jax.device_put(keys, rep_sh)
         state, losses, preds = train_epoch(
-            state,
-            train_dataset.images_u8[jnp.asarray(pidx)],
-            train_dataset.labels_dev[jnp.asarray(pidx)],
-            jnp.asarray(valid),
-            keys,
+            state, images, labels, valid_dev, keys,
         )
         train_loss = float(jnp.mean(losses))
         valid_flat = valid.reshape(-1)
@@ -402,7 +462,7 @@ def train_model(
         y_pred_cat = np.asarray(preds).reshape(-1)[valid_flat]
         train_acc, train_f1 = accuracy_f1(y_true_cat, y_pred_cat)
 
-        val_loss, vy, vp, _ = run_eval_epoch(state, val_dataset, batch_size)
+        val_loss, vy, vp, _ = run_eval_epoch(state, val_dataset, batch_size, mesh=mesh)
         val_acc, val_f1 = accuracy_f1(vy, vp)
 
         # ReduceLROnPlateau(mode=min, threshold_mode=rel 1e-4): improvement

@@ -23,10 +23,11 @@ def evaluate_model(
     pos_index: Optional[int] = None,
     threshold: Optional[float] = None,
     apply_fn=None,
+    mesh=None,
 ) -> Tuple[Dict[str, float], np.ndarray, np.ndarray, np.ndarray]:
     """(metrics, y_true, y_pred, y_prob_positive)."""
     _, y_true, y_pred_argmax, probs_full = run_eval_epoch(
-        state_or_vars, dataset, batch_size, apply_fn=apply_fn
+        state_or_vars, dataset, batch_size, apply_fn=apply_fn, mesh=mesh
     )
     num_classes = probs_full.shape[1] if probs_full.ndim == 2 else 2
 
