@@ -58,27 +58,59 @@ def _state_tree(state) -> Dict[str, Any]:
     }
 
 
+_SNAPSHOT_MAGIC = b"SSIPSNAP1\n"
+
+
 def save_train_snapshot(path: Path, state, driver: Dict[str, Any]) -> None:
     """Mid-run resume point: full TrainState (params, BN stats, optimizer
-    state, step) as msgpack + epoch-driver scalars/history as a JSON
-    sidecar. One snapshot per training stream, overwritten every epoch —
-    restart granularity is one epoch.
+    state, step) + epoch-driver scalars/history, bundled in ONE file and
+    committed with an atomic rename. A SIGKILL at any instant leaves either
+    the previous complete snapshot or the new complete snapshot — never a
+    truncated or state/driver-desynced pair (the preemption case resume
+    exists for). One snapshot per training stream, overwritten every epoch.
+
+    Layout: magic, 8-byte big-endian driver-JSON length, driver JSON,
+    msgpack-serialized state tree.
+    """
+    import json
+    import os
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    driver_bytes = json.dumps(driver).encode()
+    payload = (
+        _SNAPSHOT_MAGIC
+        + len(driver_bytes).to_bytes(8, "big")
+        + driver_bytes
+        + serialization.to_bytes(jax.device_get(_state_tree(state)))
+    )
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(payload)
+    os.replace(tmp, path)
+
+
+def load_train_snapshot(path: Path, state_template) -> tuple[Any, Dict[str, Any]]:
+    """Restore (TrainState, driver dict) from a snapshot onto a template.
+
+    Raises on a missing/corrupt snapshot — callers that resume
+    opportunistically (train_model) treat that as 'no snapshot'.
     """
     import json
 
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(serialization.to_bytes(jax.device_get(_state_tree(state))))
-    path.with_suffix(path.suffix + ".driver.json").write_text(json.dumps(driver))
-
-
-def load_train_snapshot(path: Path, state_template) -> tuple[Any, Dict[str, Any]]:
-    """Restore (TrainState, driver dict) from a snapshot onto a template."""
-    import json
-
-    path = Path(path)
+    raw = path.read_bytes()
+    if raw.startswith(_SNAPSHOT_MAGIC):
+        off = len(_SNAPSHOT_MAGIC)
+        dlen = int.from_bytes(raw[off : off + 8], "big")
+        driver = json.loads(raw[off + 8 : off + 8 + dlen].decode())
+        state_bytes = raw[off + 8 + dlen :]
+    else:  # legacy two-file layout (pre-atomic snapshots)
+        driver = json.loads(
+            path.with_suffix(path.suffix + ".driver.json").read_text()
+        )
+        state_bytes = raw
     tree = serialization.from_bytes(
-        jax.device_get(_state_tree(state_template)), path.read_bytes()
+        jax.device_get(_state_tree(state_template)), state_bytes
     )
     state = state_template.replace(
         step=tree["step"],
@@ -86,7 +118,6 @@ def load_train_snapshot(path: Path, state_template) -> tuple[Any, Dict[str, Any]
         batch_stats=tree["batch_stats"],
         opt_state=tree["opt_state"],
     )
-    driver = json.loads(path.with_suffix(path.suffix + ".driver.json").read_text())
     return state, driver
 
 

@@ -403,25 +403,44 @@ def train_model(
     if resume_path is not None and Path(resume_path).exists():
         from ssip_tpu.train.checkpoints import load_train_snapshot
 
-        state, driver = load_train_snapshot(Path(resume_path), state)
-        if mesh is not None:
-            state = jax.device_put(state, rep_sh)
-        history = driver["history"]
-        best_val_loss = driver["best_val_loss"]
-        early_patience = driver["early_patience"]
-        plateau_best = driver["plateau_best"]
-        plateau_bad = driver["plateau_bad"]
-        epoch_start = driver["epoch"] + 1
-        best_path = Path(str(resume_path) + ".best")
-        if best_path.exists():
-            best_state, _ = load_train_snapshot(best_path, state)
-        else:
+        # A snapshot that fails to parse is treated as 'no snapshot' (warn
+        # and start fresh) — a resume point must never be able to brick the
+        # run it exists to protect. Atomic snapshot writes make this path
+        # unreachable for SIGKILL truncation; it guards disk corruption and
+        # format drift.
+        try:
+            state, driver = load_train_snapshot(Path(resume_path), state)
+        except Exception as exc:
+            LOGGER.warning(
+                "Unreadable resume snapshot %s (%s) — starting '%s' fresh",
+                resume_path, exc, stream_name,
+            )
+            driver = None
+        if driver is not None:
+            if mesh is not None:
+                state = jax.device_put(state, rep_sh)
+            history = driver["history"]
+            best_val_loss = driver["best_val_loss"]
+            early_patience = driver["early_patience"]
+            plateau_best = driver["plateau_best"]
+            plateau_bad = driver["plateau_bad"]
+            epoch_start = driver["epoch"] + 1
+            best_path = Path(str(resume_path) + ".best")
             best_state = state
-        LOGGER.info(
-            "Resumed '%s' from %s at epoch %d", stream_name, resume_path, epoch_start
-        )
-        if driver.get("finished"):
-            return best_state, history
+            if best_path.exists():
+                try:
+                    best_state, _ = load_train_snapshot(best_path, state)
+                except Exception as exc:
+                    LOGGER.warning(
+                        "Unreadable best-state snapshot %s (%s) — using current",
+                        best_path, exc,
+                    )
+            LOGGER.info(
+                "Resumed '%s' from %s at epoch %d",
+                stream_name, resume_path, epoch_start,
+            )
+            if driver.get("finished"):
+                return best_state, history
 
     for epoch in range(epoch_start, num_epochs):
         if balanced:
