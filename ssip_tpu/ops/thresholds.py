@@ -61,6 +61,33 @@ def stats_for_thresholds(
     }
 
 
+def _host_rates(stats: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+    """Recompute rates in float64 on host from the (exact) integer counts.
+
+    The [T, N] device broadcast carries counts in f32 — exact for any
+    realistic N — but ratios like 19/20 round differently in f32 vs f64,
+    and the reference's 1e-12 feasibility epsilon (common.py:668-746) is
+    meaningful only at f64 precision: a recall landing exactly on the
+    target must not flip feasibility on f32 rounding (ADVICE r1).
+    """
+    tp = np.asarray(stats["TP"], np.float64)
+    fp = np.asarray(stats["FP"], np.float64)
+    tn = np.asarray(stats["TN"], np.float64)
+    fn = np.asarray(stats["FN"], np.float64)
+
+    def safe(num, den):
+        return np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+
+    return {
+        "TP": tp, "FP": fp, "TN": tn, "FN": fn,
+        "recall": safe(tp, tp + fn),
+        "precision": safe(tp, tp + fp),
+        "fpr": safe(fp, fp + tn),
+        "tnr": safe(tn, tn + fp),
+        "accuracy": (tp + tn) / np.maximum(1.0, tp + tn + fp + fn),
+    }
+
+
 def fbeta_scores(precision: jnp.ndarray, recall: jnp.ndarray, beta: float) -> jnp.ndarray:
     beta2 = beta * beta
     denom = beta2 * precision + recall
@@ -79,7 +106,7 @@ def find_threshold_for_target_recall(
         return 0.5
     thr = candidate_thresholds(y_prob, include_one=False)
     stats = stats_for_thresholds(jnp.asarray(y_true_bin), jnp.asarray(y_prob), jnp.asarray(thr))
-    ok = np.asarray(stats["recall"]) >= target_recall
+    ok = _host_rates(stats)["recall"] >= target_recall
     if ok.any():
         return float(thr[np.nonzero(ok)[0].max()])
     return float(thr[0])
@@ -101,9 +128,10 @@ def select_operating_threshold(
 
     thr = candidate_thresholds(y_prob, include_one=True)
     stats = stats_for_thresholds(jnp.asarray(y_true_bin), jnp.asarray(y_prob), jnp.asarray(thr))
-    recall = np.asarray(stats["recall"])
-    precision = np.asarray(stats["precision"])
-    fpr = np.asarray(stats["fpr"])
+    rates = _host_rates(stats)
+    recall = rates["recall"]
+    precision = rates["precision"]
+    fpr = rates["fpr"]
 
     feasible = recall + _EPS >= target_recall
     if min_precision is not None:
@@ -120,7 +148,9 @@ def select_operating_threshold(
             "fpr": float(fpr[i]),
         }
 
-    fbeta = np.asarray(fbeta_scores(jnp.asarray(precision), jnp.asarray(recall), f_beta))
+    beta2 = f_beta * f_beta
+    denom = beta2 * precision + recall
+    fbeta = np.where(denom > 0, (1 + beta2) * precision * recall / np.where(denom > 0, denom, 1.0), 0.0)
     # lexicographic argmax over (fbeta, threshold); thresholds ascending makes
     # the last occurrence of the max fbeta the tie-break winner.
     best = int(np.nonzero(fbeta == fbeta.max())[0].max())
@@ -176,7 +206,7 @@ def sweep_thresholds(
     stats = stats_for_thresholds(
         jnp.asarray(y_true_bin), jnp.asarray(y_prob), jnp.asarray(thresholds)
     )
-    host = {k: np.asarray(v) for k, v in stats.items()}
+    host = _host_rates(stats)
     rows = []
     for i, t in enumerate(thresholds):
         rows.append(

@@ -131,3 +131,20 @@ class TestSweep:
                 y, (p >= thr).astype(int), labels=[0, 1]
             ).ravel()
             assert (row["TP"], row["FP"], row["TN"], row["FN"]) == (tp, fp, tn, fn)
+
+
+def test_feasibility_exact_on_target_boundary():
+    """Recall landing exactly on the target must stay feasible (f64 rates
+    from integer counts — f32 rounding of e.g. 19/20 could flip it)."""
+    from ssip_tpu.ops.thresholds import select_operating_threshold
+
+    # 20 positives; at thr=0.6 exactly 19 recalled -> recall = 19/20 = 0.95
+    y_true = np.r_[np.ones(20, int), np.zeros(20, int)]
+    y_prob = np.r_[
+        np.full(19, 0.9), [0.1],          # positives: 19 above, 1 below
+        np.full(20, 0.05),                # negatives well below
+    ]
+    thr, meta = select_operating_threshold(y_true, y_prob, target_recall=0.95)
+    assert meta["policy"] == "constrained"
+    assert meta["recall"] == 19 / 20  # exact f64 value
+    assert thr >= 0.5
