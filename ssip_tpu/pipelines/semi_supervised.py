@@ -281,6 +281,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             consistency_weight=config.consistency_weight,
             confidence_threshold=config.consistency_threshold,
             early_stopping_patience=config.early_stopping_patience,
+            resume_path=config.resume_path("semi_finetune"),
         )
         save_checkpoint(reg.semi_checkpoint, variables_of(semi_state))
         # keep the history schema uniform for the combined curves figure

@@ -41,6 +41,19 @@ def setup_jax(cache_dir: str | os.PathLike | None = None) -> None:
 
     _dist_init()
 
+    # The config string only proves the user *asked* for an accelerator; on
+    # a host with no TPU plugin JAX silently falls back to CPU, and caching
+    # those CPU AOT entries recreates the SIGILL hazard. Gate on the
+    # RESOLVED backend (safe to initialize now — the distributed handshake
+    # above already ran).
+    try:
+        resolved = jax.default_backend()
+    except Exception:  # pragma: no cover - backend probing is best-effort
+        resolved = "cpu"
+    if resolved == "cpu":
+        _CONFIGURED = True
+        return
+
     cache = Path(
         cache_dir
         or os.environ.get("SSIP_JAX_CACHE_DIR")

@@ -56,6 +56,7 @@ class ScreeningPredictor:
         image_size: int = 224,
         batch_size: int = 64,
         compute_dtype: str = "float32",
+        num_classes: int = 2,
     ) -> None:
         self.threshold = float(threshold)
         self.positive_class = positive_class
@@ -63,7 +64,7 @@ class ScreeningPredictor:
         self.image_size = image_size
         self.batch_size = batch_size
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        self._model = ResNet18(num_classes=2, compute_dtype=dtype)
+        self._model = ResNet18(num_classes=num_classes, compute_dtype=dtype)
         self._variables = jax.device_put(variables)
 
         @partial(jax.jit, static_argnames=("steps", "batch"))
@@ -96,13 +97,14 @@ class ScreeningPredictor:
         image_size: int = 224,
         compute_dtype: str = "float32",
     ) -> "ScreeningPredictor":
-        """Load checkpoint + operating_point.json from a pipeline run."""
+        """Load checkpoint + operating_point.json from a pipeline run.
+
+        The classifier head size comes from the operating point's recorded
+        class list (a checkpoint trained on ≠2 classes must not hit an
+        opaque msgpack shape mismatch against a hardcoded 2-way template).
+        """
         reg = ArtifactRegistry(Path(output_dir))
         ckpt = reg.semi_checkpoint if model == "semi" else reg.baseline_checkpoint
-        template = seeded_init_host(
-            ResNet18(num_classes=2), 0, (1, image_size, image_size, 3)
-        )
-        variables = load_checkpoint(ckpt, template)
 
         threshold, positive_class = 0.5, "cancer"
         classes = None
@@ -118,6 +120,22 @@ class ScreeningPredictor:
                 "No operating_point.json under %s — defaulting threshold 0.5",
                 output_dir,
             )
+
+        num_classes = len(classes) if classes else 2
+        template = seeded_init_host(
+            ResNet18(num_classes=num_classes), 0, (1, image_size, image_size, 3)
+        )
+        try:
+            variables = load_checkpoint(ckpt, template)
+        except Exception as exc:
+            raise RuntimeError(
+                f"Failed to restore checkpoint {ckpt} against a "
+                f"{num_classes}-class ResNet-18 head (classes from "
+                f"{op_path.name}: {classes}). If the checkpoint was trained "
+                "with a different class count, regenerate "
+                "operating_point.json or pass matching artifacts."
+            ) from exc
+
         if classes and positive_class in classes:
             pos_index = classes.index(positive_class)
         else:
@@ -135,7 +153,7 @@ class ScreeningPredictor:
         return cls(
             variables, threshold, positive_class, pos_index,
             image_size=image_size, batch_size=batch_size,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, num_classes=num_classes,
         )
 
     # -- inference ----------------------------------------------------------

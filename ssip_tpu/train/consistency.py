@@ -144,9 +144,17 @@ def train_fixmatch(
     early_stopping_patience: int = 3,
     plateau_patience: int = 2,
     plateau_factor: float = 0.5,
+    resume_path: Optional[Any] = None,
 ) -> Tuple[TrainState, dict]:
-    """Epoch driver mirroring ``train_model``'s control flow + consistency."""
+    """Epoch driver mirroring ``train_model``'s control flow + consistency.
+
+    ``resume_path`` gives the consistency finetune phase the same
+    preemption-safe per-epoch snapshot/restore as every other phase
+    (ADVICE r1) — the driver state is train_model's plus the two
+    consistency history keys, which ride along inside ``history``.
+    """
     import math
+    from pathlib import Path
 
     from ssip_tpu.data.splits import balanced_epoch_indices
     from ssip_tpu.ops.metrics import accuracy_f1
@@ -161,9 +169,45 @@ def train_fixmatch(
     }
     best_state, best_val = state, math.inf
     early, plateau_best, plateau_bad = 0, math.inf, 0
+    epoch_start = 0
     n_unlabeled = int(unlabeled_images.shape[0])
 
-    for epoch in range(num_epochs):
+    if resume_path is not None and Path(resume_path).exists():
+        from ssip_tpu.train.checkpoints import load_train_snapshot
+
+        try:
+            state, driver = load_train_snapshot(Path(resume_path), state)
+        except Exception as exc:
+            LOGGER.warning(
+                "Unreadable resume snapshot %s (%s) — starting '%s' fresh",
+                resume_path, exc, stream_name,
+            )
+            driver = None
+        if driver is not None:
+            history = driver["history"]
+            best_val = driver["best_val_loss"]
+            early = driver["early_patience"]
+            plateau_best = driver["plateau_best"]
+            plateau_bad = driver["plateau_bad"]
+            epoch_start = driver["epoch"] + 1
+            best_path = Path(str(resume_path) + ".best")
+            best_state = state
+            if best_path.exists():
+                try:
+                    best_state, _ = load_train_snapshot(best_path, state)
+                except Exception as exc:
+                    LOGGER.warning(
+                        "Unreadable best-state snapshot %s (%s) — using current",
+                        best_path, exc,
+                    )
+            LOGGER.info(
+                "Resumed '%s' from %s at epoch %d",
+                stream_name, resume_path, epoch_start,
+            )
+            if driver.get("finished"):
+                return best_state, history
+
+    for epoch in range(epoch_start, num_epochs):
         order = balanced_epoch_indices(
             train_dataset.labels, seed=seed, epoch=epoch,
             num_samples=len(train_dataset),
@@ -214,11 +258,37 @@ def train_fixmatch(
             float(jnp.mean(keep)), val_loss, val_acc,
         )
 
+        stopped = False
         if val_loss < best_val:
             best_val, best_state, early = val_loss, state, 0
+            if resume_path is not None:
+                from ssip_tpu.train.checkpoints import save_train_snapshot
+
+                save_train_snapshot(
+                    Path(str(resume_path) + ".best"), best_state, {"epoch": epoch}
+                )
         else:
             early += 1
             if early >= early_stopping_patience:
                 LOGGER.info("Early stopping triggered at epoch %d", epoch + 1)
-                break
+                stopped = True
+
+        if resume_path is not None:
+            from ssip_tpu.train.checkpoints import save_train_snapshot
+
+            save_train_snapshot(
+                resume_path,
+                state,
+                {
+                    "epoch": epoch,
+                    "history": history,
+                    "best_val_loss": best_val,
+                    "early_patience": early,
+                    "plateau_best": plateau_best,
+                    "plateau_bad": plateau_bad,
+                    "finished": stopped,
+                },
+            )
+        if stopped:
+            break
     return best_state, history

@@ -76,3 +76,36 @@ def test_zero_weight_matches_plain_training_shape(data):
         confidence_threshold=0.95,
     )
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_fixmatch_interrupt_and_resume(data, tmp_path):
+    """FixMatch finetune is preemption-resumable like every other phase."""
+    dataset, pool = data
+    common = dict(
+        batch_size=8, unlabeled_batch_size=8, seed=42, stream_name="fixres",
+        consistency_weight=1.0, confidence_threshold=0.6,
+        early_stopping_patience=10,
+    )
+    snap = tmp_path / "fixres.msgpack"
+
+    full_state, full_history = train_fixmatch(
+        _state(), dataset, dataset, pool, num_epochs=3, **common
+    )
+    # interrupted at 2 epochs, then resumed to 3
+    train_fixmatch(
+        _state(), dataset, dataset, pool,
+        num_epochs=2, resume_path=snap, **common,
+    )
+    assert snap.exists()
+    resumed_state, resumed_history = train_fixmatch(
+        _state(), dataset, dataset, pool,
+        num_epochs=3, resume_path=snap, **common,
+    )
+    assert len(resumed_history["train_loss"]) == 3
+    np.testing.assert_allclose(
+        resumed_history["train_loss"], full_history["train_loss"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        resumed_history["consistency_loss"], full_history["consistency_loss"],
+        rtol=1e-5,
+    )
