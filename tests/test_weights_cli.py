@@ -96,3 +96,67 @@ def test_supervised_with_pretrained_backbone(tiny_image_tree, tmp_path):
     )
     # fc head stays freshly initialized (shape [512, 2], not the ckpt's 1000)
     assert np.asarray(state.params["fc"]["kernel"]).shape == (512, 2)
+
+def test_cli_embeddings_match_torch_oracle_1e4(tiny_image_tree, tmp_path):
+    """The 1e-4 parity bar enforced END-TO-END through the extraction CLI:
+    embeddings from a ported checkpoint must match the torch oracle's
+    forward over the reference preprocessing chain (Resize 256 → CenterCrop
+    224 → normalize; reference feature_extraction.py:184-240, :251-313).
+    BASELINE parity row — model-level 1e-4 is asserted elsewhere; this
+    closes the loop over decode + resize + port + batching + artifacts.
+    """
+    from PIL import Image
+
+    ckpt = tmp_path / "oracle.pt"
+    _write_checkpoint(ckpt)
+
+    out = tmp_path / "out_parity"
+    extraction_main(
+        [
+            "--data-dir", str(tiny_image_tree),
+            "--device", "cpu",
+            "--batch-size", "8",
+            "--compute-dtype", "float32",
+            "--output-dir", str(out),
+            "--weights", str(ckpt),
+            "--no-cache",
+        ]
+    )
+    ported = np.load(out / "features" / "embeddings.npy")
+    import pandas as pd
+
+    emb_paths = pd.read_csv(out / "features" / "embeddings.csv")["path"].tolist()
+
+    # torch oracle forward over the SAME files in the CLI's order; the
+    # transform is the reference chain rebuilt on PIL (no torchvision in
+    # this env): bilinear short-side Resize(256) → CenterCrop(224) →
+    # ToTensor → ImageNet normalize.
+    torch.manual_seed(0)
+    model = TorchResNet18(num_classes=1000)
+    model.load_state_dict(torch.load(ckpt, weights_only=True))
+    model.eval()
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def transform(img: Image.Image) -> torch.Tensor:
+        w, h = img.size
+        if w <= h:
+            nw, nh = 256, round(256 * h / w)
+        else:
+            nw, nh = round(256 * w / h), 256
+        arr = np.asarray(img.resize((nw, nh), Image.BILINEAR), np.float32)
+        top, left = (nh - 224) // 2, (nw - 224) // 2
+        arr = arr[top : top + 224, left : left + 224] / 255.0
+        return torch.from_numpy(((arr - mean) / std).transpose(2, 0, 1))
+
+    root = tiny_image_tree
+    batch = torch.stack(
+        [transform(Image.open(root / p)) for p in emb_paths]
+    )  # extraction chain: NO .convert("RGB")
+    with torch.no_grad():
+        oracle = model(batch, features_only=True).numpy()
+
+    assert ported.shape == oracle.shape
+    max_abs = np.abs(ported - oracle).max()
+    assert max_abs <= 1e-4, f"CLI embeddings off torch oracle by {max_abs}"
