@@ -1,24 +1,24 @@
-"""Dataset audit: inventory, sampled metadata, histograms, markdown report.
+"""Dataset audit engine: inventory scan → sampled probe → figures → report.
 
-Semantics: reference src/data_audit.py — bucket discovery with fail-fast on
-missing layout (:79-92), per-subdirectory counts (:95-123), deterministic
-``random.Random(seed).sample`` file sampling (:126-138), PIL header metadata
-with readable=False tolerance (:141-174), sample grid + width/height/aspect
-(+ conditional grayscale intensity) histograms (:203-279), heuristic
-observations (:282-315), and the data_audit.md report. Artifact names match:
-``tables/{directory_summary,image_summary}.csv``,
+Output parity with the reference audit (reference src/data_audit.py — the
+artifact *text and schemas* are the contract, kept verbatim in
+``audit_contract.py``): ``tables/{directory_summary,image_summary}.csv``,
 ``figures/{sample_grid,width_hist,height_hist,aspect_hist,intensity_hist}.png``,
-``notes/data_audit.md``. Host-IO-bound by nature — no device work here.
+``notes/data_audit.md``, same sampling RNG (``random.Random(seed).sample``
+over the bucket-ordered inventory) and the same observation heuristics.
+
+The engine itself is organized differently from the reference: one
+DataFrame-centric scan/probe pair feeds declarative figure specs and a
+rule table (predicate → message) instead of a function-per-artifact chain.
+Host-IO-bound by nature — no device work here.
 """
 
 from __future__ import annotations
 
 import math
 import random
-from collections import Counter, defaultdict
-from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional
+from typing import Callable, List, Optional, Tuple
 
 import matplotlib
 
@@ -26,275 +26,290 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 import pandas as pd
-from PIL import Image, UnidentifiedImageError
+from PIL import Image
 
+from ssip_tpu.analysis import audit_contract as contract
 from ssip_tpu.runtime.logging import get_logger
 
 LOGGER = get_logger(__name__)
 
-BUCKET_LABELS = {"avec_labels": "labeled", "sans_label": "unlabeled"}
-GRAYSCALE_MODES = {"1", "L", "LA", "I", "F"}
+
+# --------------------------------------------------------------------------
+# scan: one walk over the bucket layout → inventory frame
+# --------------------------------------------------------------------------
+
+def scan_dataset(data_dir: Path) -> pd.DataFrame:
+    """Inventory frame with one row per file: bucket, subdirectory, path.
+
+    Row order is the sampling order of record: buckets in contract order,
+    files in sorted-rglob order within each (this ordering is what makes
+    ``sample_inventory`` reproduce the reference's draws).
+    """
+    data_dir = Path(data_dir)
+    rows: List[Tuple[str, str, Path]] = []
+    for dirname, bucket in contract.BUCKETS:
+        root = data_dir / dirname
+        if not root.exists():
+            raise FileNotFoundError(f"Missing expected bucket directory: {root}")
+        for p in sorted(root.rglob("*")):
+            if not p.is_file():
+                continue
+            rel = p.relative_to(data_dir)
+            sub = rel.parts[1] if len(rel.parts) > 2 else "(root)"
+            rows.append((bucket, sub, p))
+    return pd.DataFrame(rows, columns=["bucket", "subdirectory", "abspath"])
 
 
-@dataclass(frozen=True)
-class FileRecord:
-    bucket: str
-    relative_path: str
-    absolute_path: Path
-    width: Optional[int]
-    height: Optional[int]
-    mode: Optional[str]
-    image_format: Optional[str]
-    byte_size: int
-    readable: bool
-
-    @property
-    def aspect_ratio(self) -> Optional[float]:
-        if self.width and self.height:
-            return self.width / self.height
-        return None
-
-
-def discover_files(data_dir: Path) -> Dict[str, List[Path]]:
-    inventory: Dict[str, List[Path]] = defaultdict(list)
-    for bucket_dir, bucket in BUCKET_LABELS.items():
-        bucket_path = Path(data_dir) / bucket_dir
-        if not bucket_path.exists():
-            raise FileNotFoundError(f"Missing expected bucket directory: {bucket_path}")
-        for file_path in sorted(bucket_path.rglob("*")):
-            if file_path.is_file():
-                inventory[bucket].append(file_path)
-    return inventory
-
-
-def summarize_directory_tree(
-    file_inventory: Dict[str, List[Path]], base_dir: Path
-) -> pd.DataFrame:
-    records = []
-    for bucket, files in file_inventory.items():
-        counter: Counter[str] = Counter()
-        for path in files:
-            parts = path.relative_to(base_dir).parts
-            counter[parts[1] if len(parts) > 2 else "(root)"] += 1
-        if not counter:
-            counter["(root)"] = 0
-        for subdir, count in sorted(counter.items()):
-            records.append(
-                {"bucket": bucket, "subdirectory": subdir, "file_count": count}
-            )
-    return (
-        pd.DataFrame(records)
-        .sort_values(["bucket", "subdirectory"])
-        .reset_index(drop=True)
-    )
-
-
-def sample_files(
-    file_inventory: Dict[str, List[Path]], sample_size: int, seed: int = 42
-) -> List[Path]:
-    all_files: List[Path] = []
-    for files in file_inventory.values():
-        all_files.extend(files)
-    if not all_files:
-        return []
-    sample_size = min(sample_size, len(all_files))
-    return random.Random(seed).sample(all_files, sample_size)
-
-
-def extract_metadata(sampled_paths: Iterable[Path], base_dir: Path) -> List[FileRecord]:
-    records: List[FileRecord] = []
-    for path in sampled_paths:
-        relative = path.relative_to(base_dir)
-        bucket = BUCKET_LABELS.get(relative.parts[0], relative.parts[0])
-        width = height = None
-        mode = image_format = None
-        readable = True
-        try:
-            with Image.open(path) as img:
-                width, height = img.size
-                mode = img.mode
-                image_format = img.format
-        except (UnidentifiedImageError, OSError):
-            readable = False
-        records.append(
-            FileRecord(
-                bucket=bucket,
-                relative_path=str(relative),
-                absolute_path=path,
-                width=width,
-                height=height,
-                mode=mode,
-                image_format=image_format,
-                byte_size=path.stat().st_size,
-                readable=readable,
-            )
+def directory_summary(inventory: pd.DataFrame) -> pd.DataFrame:
+    """Per-(bucket, subdirectory) file counts, sorted — directory_summary.csv."""
+    if inventory.empty:
+        counts = pd.DataFrame(columns=["bucket", "subdirectory", "file_count"])
+    else:
+        counts = (
+            inventory.groupby(["bucket", "subdirectory"], as_index=False)
+            .size()
+            .rename(columns={"size": "file_count"})
         )
-    return records
+    # buckets with zero files still get a "(root)" row, like the reference
+    present = set(counts["bucket"]) if not counts.empty else set()
+    fillers = [
+        {"bucket": bucket, "subdirectory": "(root)", "file_count": 0}
+        for _, bucket in contract.BUCKETS
+        if bucket not in present
+    ]
+    if fillers:
+        counts = pd.concat([counts, pd.DataFrame(fillers)], ignore_index=True)
+    return counts.sort_values(["bucket", "subdirectory"]).reset_index(drop=True)
 
 
-def records_to_dataframe(records: List[FileRecord]) -> pd.DataFrame:
+def sample_inventory(
+    inventory: pd.DataFrame, sample_size: int, seed: int = 42
+) -> List[Path]:
+    """Deterministic sample over the whole inventory (reference RNG parity:
+    ``random.Random(seed).sample`` over the bucket-ordered file list)."""
+    paths = list(inventory["abspath"])
+    if not paths:
+        return []
+    return random.Random(seed).sample(paths, min(sample_size, len(paths)))
+
+
+# --------------------------------------------------------------------------
+# probe: PIL header metadata for the sampled files → summary frame
+# --------------------------------------------------------------------------
+
+def probe_images(sampled: List[Path], data_dir: Path) -> pd.DataFrame:
+    """image_summary rows: header metadata with readable=False tolerance."""
+    bucket_of = dict(contract.BUCKETS)
+    rows = []
+    for p in sampled:
+        rel = p.relative_to(data_dir)
+        row = {
+            "bucket": bucket_of.get(rel.parts[0], rel.parts[0]),
+            "path": str(rel),
+            "width": None, "height": None, "mode": None, "format": None,
+            "bytes": p.stat().st_size,
+            "readable": True,
+            "abspath": p,
+        }
+        try:
+            with Image.open(p) as img:
+                row["width"], row["height"] = img.size
+                row["mode"], row["format"] = img.mode, img.format
+        except Exception:
+            row["readable"] = False
+        rows.append(row)
     df = pd.DataFrame(
-        [
-            {
-                "bucket": r.bucket,
-                "path": r.relative_path,
-                "width": r.width,
-                "height": r.height,
-                "mode": r.mode,
-                "format": r.image_format,
-                "bytes": r.byte_size,
-                "readable": r.readable,
-                "aspect_ratio": r.aspect_ratio,
-            }
-            for r in records
-        ]
+        rows,
+        columns=list(contract.SUMMARY_COLUMNS[:-1]) + ["abspath"],
     )
+    df["aspect_ratio"] = df["width"] / df["height"]
     return df.sort_values(["bucket", "path"]).reset_index(drop=True)
 
 
-def save_sample_grid(records: List[FileRecord], output_path: Path) -> None:
-    readable = [r for r in records if r.readable]
-    if not readable:
+# --------------------------------------------------------------------------
+# figures: declarative specs over the summary frame
+# --------------------------------------------------------------------------
+
+def render_figures(summary: pd.DataFrame, figures_dir: Path) -> None:
+    figures_dir.mkdir(parents=True, exist_ok=True)
+    _sample_grid(summary, figures_dir / "sample_grid.png")
+
+    numeric = summary.dropna(subset=["width", "height", "bytes", "aspect_ratio"])
+    if not numeric.empty:
+        for column, xlabel, title, color, name in contract.HISTOGRAMS:
+            _hist_figure(
+                numeric[column], xlabel, title, figures_dir / name,
+                bins=20, color=color,
+            )
+        _intensity_figure(summary, figures_dir)
+
+
+def _sample_grid(summary: pd.DataFrame, out: Path) -> None:
+    readable = summary[summary["readable"]]
+    if readable.empty:
         return
-    cols = min(8, len(readable))
-    rows = math.ceil(len(readable) / cols)
+    n = len(readable)
+    cols = min(8, n)
+    rows = math.ceil(n / cols)
     fig, axes = plt.subplots(rows, cols, figsize=(cols * 2.2, rows * 2.2))
-    axes_flat = np.atleast_1d(axes).reshape(-1)
-    for ax, record in zip(axes_flat, readable):
-        with Image.open(record.absolute_path) as img:
-            ax.imshow(img.convert("RGB") if img.mode != "RGB" else img)
-        ax.set_title(Path(record.relative_path).name, fontsize=8)
+    flat = np.atleast_1d(axes).reshape(-1)
+    for ax, (_, row) in zip(flat, readable.iterrows()):
+        with Image.open(row["abspath"]) as img:
+            ax.imshow(img if img.mode == "RGB" else img.convert("RGB"))
+        ax.set_title(Path(row["path"]).name, fontsize=8)
         ax.axis("off")
-    for ax in axes_flat[len(readable):]:
+    for ax in flat[n:]:
         ax.axis("off")
     fig.tight_layout()
-    output_path.parent.mkdir(parents=True, exist_ok=True)
-    fig.savefig(output_path, dpi=200)
+    fig.savefig(out, dpi=200)
     plt.close(fig)
 
 
-def save_histograms(df: pd.DataFrame, base_dir: Path, figures_dir: Path) -> None:
-    numeric = df.dropna(subset=["width", "height", "bytes", "aspect_ratio"])
-    if numeric.empty:
+def _hist_figure(series, xlabel, title, out: Path, *, bins, color) -> None:
+    fig, ax = plt.subplots()
+    ax.hist(series, bins=bins, color=color)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("Count")
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+
+
+def _intensity_figure(summary: pd.DataFrame, figures_dir: Path) -> None:
+    gray = summary[summary["mode"].isin(contract.GRAYSCALE_MODES)]
+    if gray.empty:
         return
-    figures_dir.mkdir(parents=True, exist_ok=True)
-    for column, xlabel, title, color, name in (
-        ("width", "Width (pixels)", "Sample Width Distribution", "#3b7ddd", "width_hist.png"),
-        ("height", "Height (pixels)", "Sample Height Distribution", "#da5b3b", "height_hist.png"),
-        ("aspect_ratio", "Aspect Ratio (W/H)", "Sample Aspect Ratio Distribution", "#5bda3b", "aspect_hist.png"),
-    ):
-        fig, ax = plt.subplots()
-        ax.hist(numeric[column], bins=20, color=color)
-        ax.set_xlabel(xlabel)
-        ax.set_ylabel("Count")
-        ax.set_title(title)
-        fig.tight_layout()
-        fig.savefig(figures_dir / name, dpi=200)
-        plt.close(fig)
-
-    grayscale = [r for _, r in df.iterrows() if r["mode"] in GRAYSCALE_MODES]
-    if grayscale:
-        fig, ax = plt.subplots()
-        for record in grayscale:
-            with Image.open(base_dir / record["path"]) as img:
-                arr = np.array(img.convert("L")).ravel()
-            ax.hist(arr, bins=30, alpha=0.4, label=Path(record["path"]).stem)
-        ax.set_xlabel("Pixel Intensity")
-        ax.set_ylabel("Frequency")
-        ax.set_title("Grayscale Intensity Distribution")
-        if len(grayscale) <= 10:
-            ax.legend(fontsize=6)
-        fig.tight_layout()
-        fig.savefig(figures_dir / "intensity_hist.png", dpi=200)
-        plt.close(fig)
+    xlabel, ylabel, title, name = contract.INTENSITY_HIST
+    fig, ax = plt.subplots()
+    for _, row in gray.iterrows():
+        with Image.open(row["abspath"]) as img:
+            ax.hist(
+                np.array(img.convert("L")).ravel(), bins=30, alpha=0.4,
+                label=Path(row["path"]).stem,
+            )
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    if len(gray) <= 10:
+        ax.legend(fontsize=6)
+    fig.tight_layout()
+    fig.savefig(figures_dir / name, dpi=200)
+    plt.close(fig)
 
 
-def generate_observations(df: pd.DataFrame, dir_summary: pd.DataFrame) -> List[str]:
-    observations: List[str] = []
-    unreadable = int((~df["readable"]).sum())
-    if unreadable:
-        observations.append(f"Detected {unreadable} unreadable files in the sample.")
-    else:
-        observations.append("No unreadable files detected in the sampled set.")
+# --------------------------------------------------------------------------
+# observations: rule table (each rule: summary frames → messages)
+# --------------------------------------------------------------------------
 
-    modes = df["mode"].dropna().unique()
+def _rule_readability(summary, _dirs) -> List[str]:
+    n = int((~summary["readable"]).sum())
+    return [contract.OBS_UNREADABLE.format(n=n) if n else contract.OBS_ALL_READABLE]
+
+
+def _rule_modes(summary, _dirs) -> List[str]:
+    modes = summary["mode"].dropna().unique()
     if len(modes) == 1:
-        mode = modes[0]
-        observations.append(f"Sampled images share a single mode: {mode}.")
-        if mode == "RGB":
-            observations.append(
-                "Convert to a single grayscale channel if downstream models "
-                "expect MRI intensity inputs."
-            )
-        elif mode in {"L", "1"}:
-            observations.append(
-                "Grayscale inputs align with typical MRI pipelines; ensure "
-                "channel handling stays consistent."
-            )
-    elif len(modes) > 1:
-        observations.append(
-            f"Mixed image modes detected ({', '.join(modes)}); harmonize "
-            "channels before training."
+        out = [contract.OBS_SINGLE_MODE.format(mode=modes[0])]
+        if modes[0] == "RGB":
+            out.append(contract.OBS_RGB_HINT)
+        elif modes[0] in {"L", "1"}:
+            out.append(contract.OBS_GRAY_HINT)
+        return out
+    if len(modes) > 1:
+        return [contract.OBS_MIXED_MODES.format(modes=", ".join(modes))]
+    return []
+
+
+def _rule_dominant_size(summary, _dirs) -> List[str]:
+    sized = summary.dropna(subset=["width", "height"])
+    if sized.empty:
+        return []
+    counts = sized.groupby(["width", "height"]).size()
+    (w, h), n = counts.idxmax(), counts.max()
+    return [
+        contract.OBS_DOMINANT_SIZE.format(
+            w=int(w), h=int(h), n=int(n), total=len(summary)
         )
+    ]
 
-    size_counts = (
-        df.dropna(subset=["width", "height"]).groupby(["width", "height"]).size()
-    )
-    if not size_counts.empty:
-        (width, height), dominant = size_counts.idxmax(), size_counts.max()
-        observations.append(
-            f"Most sampled images are {int(width)}x{int(height)} "
-            f"({int(dominant)}/{len(df)}); standardize other files to this resolution."
+
+def _rule_normalization(_summary, _dirs) -> List[str]:
+    return [contract.OBS_NORMALIZE]
+
+
+def _rule_labeled_bucket(_summary, dirs) -> List[str]:
+    labeled_total = dirs.loc[dirs["bucket"] == "labeled", "file_count"].sum()
+    return [contract.OBS_VERIFY_LABELS] if labeled_total else []
+
+
+RULES: Tuple[Callable[[pd.DataFrame, pd.DataFrame], List[str]], ...] = (
+    _rule_readability,
+    _rule_modes,
+    _rule_dominant_size,
+    _rule_normalization,
+    _rule_labeled_bucket,
+)
+
+
+def generate_observations(
+    summary: pd.DataFrame, dirs: pd.DataFrame
+) -> List[str]:
+    out: List[str] = []
+    for rule in RULES:
+        out.extend(rule(summary, dirs))
+    return out
+
+
+# --------------------------------------------------------------------------
+# report
+# --------------------------------------------------------------------------
+
+def _structure_section(dirs: pd.DataFrame, data_dir: Path) -> List[str]:
+    dir_of = {bucket: dirname for dirname, bucket in contract.BUCKETS}
+    lines = []
+    for _, bucket in contract.BUCKETS:
+        rows = dirs[dirs["bucket"] == bucket]
+        total = int(rows["file_count"].sum())
+        lines.append(f"- **{bucket}** (`{data_dir / dir_of[bucket]}`): {total} files")
+        lines.extend(
+            f"  - {r['subdirectory']}: {int(r['file_count'])}"
+            for _, r in rows.iterrows()
         )
-
-    observations.append(
-        "Normalize pixel intensities to [0, 1] and consider per-image "
-        "standardization for contrast stability."
-    )
-    if dir_summary[dir_summary["bucket"] == "labeled"]["file_count"].sum():
-        observations.append(
-            "Verify labeled subdirectories align with metadata before "
-            "splitting into train/val sets."
-        )
-    return observations
+    return lines
 
 
-def write_markdown_report(
-    df: pd.DataFrame,
-    dir_summary: pd.DataFrame,
+def render_report(
+    summary: pd.DataFrame,
+    dirs: pd.DataFrame,
     observations: List[str],
     data_dir: Path,
-    output_path: Path,
+    out_path: Path,
 ) -> None:
-    stats = df[["width", "height", "bytes"]].dropna().astype(int).describe().round(2)
-    lines = ["# Data Audit Notes", "", "## Directory Structure", ""]
-    for bucket in ("labeled", "unlabeled"):
-        rows = dir_summary[dir_summary["bucket"] == bucket]
-        total = int(rows["file_count"].sum())
-        bucket_dir = data_dir / (
-            "avec_labels" if bucket == "labeled" else "sans_label"
-        )
-        lines.append(f"- **{bucket}** (`{bucket_dir}`): {total} files")
-        for _, row in rows.iterrows():
-            lines.append(f"  - {row['subdirectory']}: {int(row['file_count'])}")
-    lines += ["", "## Sampled Metadata Summary", "", "```", str(stats), "```", ""]
-    lines += ["## Observations", ""]
-    lines += [f"- {obs}" for obs in observations]
-    lines += [
-        "",
-        "## Artifacts",
-        "",
-        "- Sample grid: `outputs/figures/sample_grid.png`",
-        "- Width histogram: `outputs/figures/width_hist.png`",
-        "- Height histogram: `outputs/figures/height_hist.png`",
-        "- Aspect ratio histogram: `outputs/figures/aspect_hist.png`",
-        "- Sample metadata: `outputs/tables/image_summary.csv`",
-        "- Directory summary: `outputs/tables/directory_summary.csv`",
-        "",
+    stats = (
+        summary[["width", "height", "bytes"]]
+        .dropna().astype(int).describe().round(2)
+    )
+    sections = [
+        (None, [contract.REPORT_TITLE]),
+        (contract.SECTION_STRUCTURE, _structure_section(dirs, data_dir)),
+        (contract.SECTION_STATS, ["```", str(stats), "```"]),
+        (contract.SECTION_OBSERVATIONS, [f"- {o}" for o in observations]),
+        (contract.SECTION_ARTIFACTS, list(contract.ARTIFACT_LINES)),
     ]
-    output_path.parent.mkdir(parents=True, exist_ok=True)
-    output_path.write_text("\n".join(lines), encoding="utf-8")
+    lines: List[str] = []
+    for header, body in sections:
+        if header is not None:
+            lines += [header, ""]
+        lines += body
+        lines.append("")
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text("\n".join(lines), encoding="utf-8")
 
+
+# --------------------------------------------------------------------------
+# entry point
+# --------------------------------------------------------------------------
 
 def audit_dataset(
     data_dir: Path, sample_size: int, seed: int, output_root: Path = Path("outputs")
@@ -302,23 +317,21 @@ def audit_dataset(
     from ssip_tpu.runtime.artifacts import ArtifactRegistry
 
     reg = ArtifactRegistry(Path(output_root))
-    figures_dir = reg.figures_dir
-    notes_path = reg.data_audit_md
     reg.tables_dir.mkdir(parents=True, exist_ok=True)
 
-    inventory = discover_files(data_dir)
-    dir_summary = summarize_directory_tree(inventory, data_dir)
-    dir_summary.to_csv(reg.directory_summary_csv, index=False)
+    inventory = scan_dataset(Path(data_dir))
+    dirs = directory_summary(inventory)
+    dirs.to_csv(reg.directory_summary_csv, index=False)
 
-    sampled = sample_files(inventory, sample_size, seed=seed)
-    records = extract_metadata(sampled, data_dir)
-    df = records_to_dataframe(records)
-    df.to_csv(reg.image_summary_csv, index=False)
+    sampled = sample_inventory(inventory, sample_size, seed=seed)
+    summary = probe_images(sampled, Path(data_dir))
+    summary[list(contract.SUMMARY_COLUMNS)].to_csv(reg.image_summary_csv, index=False)
 
-    save_sample_grid(records, figures_dir / "sample_grid.png")
-    save_histograms(df, data_dir, figures_dir)
-    observations = generate_observations(df, dir_summary)
-    write_markdown_report(df, dir_summary, observations, data_dir, notes_path)
-    LOGGER.info("Audit complete: %d files inventoried, %d sampled",
-                sum(len(v) for v in inventory.values()), len(df))
-    return df
+    render_figures(summary, reg.figures_dir)
+    observations = generate_observations(summary, dirs)
+    render_report(summary, dirs, observations, Path(data_dir), reg.data_audit_md)
+    LOGGER.info(
+        "Audit complete: %d files inventoried, %d sampled",
+        len(inventory), len(summary),
+    )
+    return summary[list(contract.SUMMARY_COLUMNS)]
