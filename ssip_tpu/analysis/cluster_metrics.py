@@ -9,8 +9,13 @@ matmuls and silhouette from the full pairwise-distance matrix.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ssip_tpu.analysis.blocked import CHUNK, DENSE_LIMIT
 
 
 def _contingency(labels_a: np.ndarray, labels_b: np.ndarray) -> np.ndarray:
@@ -70,6 +75,34 @@ def normalized_mutual_info(labels_true: np.ndarray, labels_pred: np.ndarray) -> 
     return float(np.clip(mi / mean_h, 0.0, 1.0))
 
 
+@jax.jit
+def _silhouette_sums_dense(x: jnp.ndarray, one_hot: jnp.ndarray) -> jnp.ndarray:
+    """[N, K] total distance from each sample to each cluster (full matrix)."""
+    sq = jnp.sum(x * x, axis=1)
+    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
+    return jnp.sqrt(d2) @ one_hot
+
+
+@jax.jit
+def _silhouette_sums_blocked(x: jnp.ndarray, one_hot: jnp.ndarray) -> jnp.ndarray:
+    """Same sums with O(CHUNK·N) memory: one [CHUNK, N] distance tile at a
+    time, scanned by XLA — the corpus-scale path (self-distance is 0 and
+    contributes nothing, so no diagonal handling is needed)."""
+    n = x.shape[0]
+    padded = ((n + CHUNK - 1) // CHUNK) * CHUNK
+    idx = jnp.minimum(jnp.arange(padded), n - 1)
+    sq = jnp.sum(x * x, axis=1)
+
+    def chunk_sums(start):
+        rows = jax.lax.dynamic_slice(idx, (start,), (CHUNK,))
+        xc = x[rows]
+        d2 = jnp.maximum(sq[rows][:, None] + sq[None, :] - 2.0 * (xc @ x.T), 0.0)
+        return jnp.sqrt(d2) @ one_hot  # [CHUNK, K]
+
+    starts = jnp.arange(0, padded, CHUNK)
+    return jax.lax.map(chunk_sums, starts).reshape(padded, -1)[:n]
+
+
 def silhouette_score(
     X: np.ndarray, labels: np.ndarray, sample_mask: np.ndarray | None = None
 ) -> float:
@@ -77,7 +110,8 @@ def silhouette_score(
 
     Vectorized: cluster-mean distances per sample as one [N, K] matmul of the
     pairwise-distance matrix against cluster one-hots. Singleton clusters
-    score 0 (sklearn convention).
+    score 0 (sklearn convention). Above DENSE_LIMIT rows the distance matrix
+    is computed in row blocks — bounded memory at corpus scale.
     """
     labels = np.asarray(labels)
     if sample_mask is not None:
@@ -90,13 +124,13 @@ def silhouette_score(
         raise ValueError("silhouette requires 2 <= n_clusters < n_samples")
 
     x = jnp.asarray(X, jnp.float32)
-    sq = jnp.sum(x * x, axis=1)
-    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
-    dist = jnp.sqrt(d2)
-
     one_hot = jnp.eye(k, dtype=jnp.float32)[dense]  # [N, K]
     counts = jnp.sum(one_hot, axis=0)  # [K]
-    sums = dist @ one_hot  # [N, K] — total distance to each cluster
+    sums = (
+        _silhouette_sums_blocked(x, one_hot)
+        if n > DENSE_LIMIT
+        else _silhouette_sums_dense(x, one_hot)
+    )
 
     own = counts[dense]  # [N]
     own_sum = sums[jnp.arange(n), dense]

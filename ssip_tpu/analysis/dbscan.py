@@ -17,10 +17,13 @@ from __future__ import annotations
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ssip_tpu.analysis.blocked import CHUNK as _CHUNK, DENSE_LIMIT as _DENSE_LIMIT
 
 
 @dataclass
@@ -37,14 +40,49 @@ def _pairwise_d2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
 
 
+def _neighbor_lists_dense(x: jnp.ndarray, eps: float) -> List[np.ndarray]:
+    """Per-point radius-neighbor index lists from the full [N, N] matrix."""
+    adjacency = np.asarray(_pairwise_d2(x)) <= float(eps) ** 2  # includes self
+    return [np.nonzero(row)[0] for row in adjacency]
+
+
+def _neighbor_lists_blocked(x: jnp.ndarray, eps: float) -> List[np.ndarray]:
+    """Corpus-scale radius query: one [CHUNK, N] distance tile at a time.
+
+    Peak memory is O(CHUNK·N) plus the (data-dependent, inherently
+    necessary) total neighbor-list storage — the [N, N] matrix is never
+    materialized on device or host.
+    """
+    n = int(x.shape[0])
+    sq = jnp.sum(x * x, axis=1)
+    eps2 = jnp.asarray(float(eps) ** 2, x.dtype)
+
+    @jax.jit
+    def chunk_adjacency(xc, sqc):
+        d2 = jnp.maximum(sqc[:, None] + sq[None, :] - 2.0 * (xc @ x.T), 0.0)
+        return d2 <= eps2
+
+    neighbors: List[np.ndarray] = []
+    padded = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK
+    for start in range(0, padded, _CHUNK):
+        rows = np.minimum(np.arange(start, start + _CHUNK), n - 1)
+        mask = np.asarray(chunk_adjacency(x[jnp.asarray(rows)], sq[jnp.asarray(rows)]))
+        take = min(_CHUNK, n - start)
+        neighbors.extend(np.nonzero(row)[0] for row in mask[:take])
+    return neighbors
+
+
 def dbscan(X: np.ndarray, eps: float, min_samples: int) -> DBSCANResult:
     x = jnp.asarray(np.asarray(X, np.float32))
-    d2 = np.asarray(_pairwise_d2(x))
-    adjacency = d2 <= float(eps) ** 2  # includes self
-    neighbor_counts = adjacency.sum(axis=1)
-    core = neighbor_counts >= min_samples
+    n = int(x.shape[0])
+    if n > _DENSE_LIMIT:
+        neighbors = _neighbor_lists_blocked(x, eps)
+    else:
+        neighbors = _neighbor_lists_dense(x, eps)
+    core = np.fromiter(
+        (len(nb) >= min_samples for nb in neighbors), bool, count=n
+    )
 
-    n = len(core)
     labels = np.full(n, -1, np.int64)
     cluster = 0
     for i in range(n):
@@ -56,7 +94,7 @@ def dbscan(X: np.ndarray, eps: float, min_samples: int) -> DBSCANResult:
             j = queue.popleft()
             if not core[j]:
                 continue
-            for nb in np.nonzero(adjacency[j])[0]:
+            for nb in neighbors[j]:
                 if labels[nb] == -1:
                     labels[nb] = cluster
                     if core[nb]:
@@ -69,11 +107,8 @@ def dbscan(X: np.ndarray, eps: float, min_samples: int) -> DBSCANResult:
     )
 
 
-# Above this many rows, the [N, N] distance matrix stops fitting comfortably
-# and the k-distance computation switches to blocked row-chunks (bounded
-# memory: one [CHUNK, N] tile at a time, scanned by XLA).
-_DENSE_LIMIT = 8192
-_CHUNK = 1024
+# _DENSE_LIMIT/_CHUNK come from ssip_tpu.analysis.blocked — the shared
+# corpus-scale policy for every dense analysis kernel.
 
 
 @partial(jax.jit, static_argnames=("k", "include_self"))

@@ -112,10 +112,19 @@ def tsne(
     n_components: int = 2,
     n_iter: int = 1000,
     seed: int = 42,
+    max_points: int = 20_000,
 ) -> np.ndarray:
-    """2-D embedding of X. Deterministic (PCA init)."""
+    """2-D embedding of X. Deterministic (PCA init).
+
+    Fails fast above ``max_points`` — the exact formulation holds several
+    [N, N] float matrices, a silent OOM wall at corpus scale (subsample
+    for visualization instead; see analysis/blocked.py).
+    """
+    from ssip_tpu.analysis.blocked import check_embedding_cap
+
     X = np.asarray(X, np.float32)
     n = X.shape[0]
+    check_embedding_cap(n, max_points, "t-SNE")
     perplexity = min(perplexity, (n - 1) / 3.0)  # sklearn guard
 
     x = jnp.asarray(X)

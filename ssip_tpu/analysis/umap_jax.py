@@ -133,10 +133,19 @@ def umap(
     n_components: int = 2,
     n_epochs: int = 200,
     seed: int = 42,
+    max_points: int = 20_000,
 ) -> np.ndarray:
-    """2-D UMAP embedding. Deterministic (PCA init, dense optimization)."""
+    """2-D UMAP embedding. Deterministic (PCA init, dense optimization).
+
+    Fails fast above ``max_points`` — the dense optimizer holds [N, N]
+    (and [N, N, 2]) tensors, a silent OOM wall at corpus scale (subsample
+    for visualization instead; see analysis/blocked.py).
+    """
+    from ssip_tpu.analysis.blocked import check_embedding_cap
+
     X = np.asarray(X, np.float32)
     n = X.shape[0]
+    check_embedding_cap(n, max_points, "UMAP")
     k = min(n_neighbors, n - 1)
     a, b = fit_ab(min_dist)
 
