@@ -34,6 +34,16 @@ def parse_args(argv=None) -> argparse.Namespace:
     )
     parser.add_argument("--no-cache", action="store_true", help="skip decode cache")
     parser.add_argument(
+        "--streaming", choices=["auto", "always", "never"], default="auto",
+        help="overlapped decode→H2D→embed stream in O(batch) host memory; "
+        "auto streams only when the decoded corpus exceeds host RAM budget",
+    )
+    parser.add_argument(
+        "--fast-decode", action="store_true",
+        help="streaming turbo mode: DCT-scaled JPEG decode + host crop "
+        "(approximate resample numerics; implies --streaming always)",
+    )
+    parser.add_argument(
         "--shard-size", type=int, default=0,
         help="enable sharded resumable extraction with this many images per "
         "shard (0 = single-shot)",
@@ -52,6 +62,8 @@ def main(argv=None) -> None:
         weights=args.weights,
         compute_dtype=args.compute_dtype,
         cache_decoded=not args.no_cache,
+        streaming="always" if args.fast_decode else args.streaming,
+        fast_decode=args.fast_decode,
     )
     if args.shard_size > 0:
         from ssip_tpu.pipelines.sharded_extraction import run_sharded_extraction

@@ -189,6 +189,155 @@ class Batch(NamedTuple):
     valid: int  # number of valid rows (rest is padding)
 
 
+def iter_streamed_decode_batches(
+    paths: Sequence[Path],
+    batch_size: int,
+    image_shape: tuple[int, int, int],
+    convert_rgb: bool = False,
+    num_threads: int = 4,
+    fast_scale: Optional[int] = None,
+    host_resize: Optional[int] = None,
+    host_crop: Optional[int] = None,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    prefetch: int = 2,
+    failures: Optional[List[Path]] = None,
+) -> Iterator[Batch]:
+    """Constant-host-memory stream: decode → H2D → compute, all overlapped.
+
+    Unlike the decode-once ``ImageStore`` (which holds the whole decoded
+    corpus in host RAM before any device work starts), this pipeline decodes
+    one batch at a time in a background thread while a second thread
+    transfers the previous batch to the device and the caller computes on
+    the one before that — a 3-stage pipeline whose throughput is the max of
+    (decode, H2D, compute) instead of their sum, in O(batch) host memory.
+    This is the e2e shape for corpora that don't fit host RAM (the
+    reference's 4M-image aspiration, docs/presentation.md:151-158).
+
+    Rows that fail to decode are dropped (appended to ``failures`` if
+    given); odd-shaped rows are PIL-resized to ``image_shape`` like
+    ``ImageStore.gather``. Valid rows are compacted to the front of each
+    fixed-shape batch and ``Batch.indices`` names them.
+
+    Throughput ("turbo") knobs — approximate, so parity-mode callers leave
+    them off: ``fast_scale`` decodes via DCT-domain scaling (libjpeg
+    scale_denom / PIL draft, ~3× faster); ``host_resize`` PIL-resizes any
+    row not already that size; ``host_crop`` center-crops on host so only
+    the network's crop ever crosses the host→device link (224²×3 uint8 is
+    5.3× fewer bytes than 512²×3 — decisive when the link, not the chip,
+    bounds e2e throughput).
+    """
+    from PIL import Image
+
+    paths = [Path(p) for p in paths]
+    n = len(paths)
+    if n == 0:
+        return
+    h, w, c = image_shape
+    num_batches = (n + batch_size - 1) // batch_size
+
+    host_q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    dev_q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def decode_stage() -> None:
+        try:
+            for bi in range(num_batches):
+                if stop.is_set():
+                    return
+                lo = bi * batch_size
+                batch_paths = paths[lo : lo + batch_size]
+                arrays, failed = decode_batch(
+                    batch_paths,
+                    convert_rgb=convert_rgb,
+                    num_threads=num_threads,
+                    fast_scale=fast_scale,
+                )
+                if failed and failures is not None:
+                    failures.extend(failed)
+                out = np.zeros((batch_size, h, w, c), dtype=np.uint8)
+                kept: list[int] = []
+                for j, arr in enumerate(arrays):
+                    if arr is None:
+                        continue
+                    if host_resize and arr.shape[:2] != (host_resize, host_resize):
+                        arr = np.asarray(
+                            Image.fromarray(arr).resize(
+                                (host_resize, host_resize), Image.BILINEAR
+                            )
+                        )
+                    if host_crop and arr.shape[:2] != (host_crop, host_crop):
+                        top = (arr.shape[0] - host_crop) // 2
+                        left = (arr.shape[1] - host_crop) // 2
+                        arr = arr[top : top + host_crop, left : left + host_crop]
+                    if arr.ndim == 2:
+                        arr = np.stack([arr] * 3, axis=-1)
+                    if arr.shape != (h, w, c):
+                        arr = np.asarray(
+                            Image.fromarray(arr).resize((w, h), Image.BILINEAR)
+                        )
+                        if arr.ndim == 2:
+                            arr = np.stack([arr] * 3, axis=-1)
+                    out[len(kept)] = arr
+                    kept.append(lo + j)
+                if kept:
+                    host_q.put((out, np.asarray(kept, dtype=np.int64)))
+            host_q.put(None)
+        except BaseException as exc:  # propagate to consumer
+            host_q.put(exc)
+
+    def transfer_stage() -> None:
+        try:
+            while True:
+                item = host_q.get()
+                if item is None or isinstance(item, BaseException):
+                    dev_q.put(item)
+                    return
+                if stop.is_set():
+                    return
+                arr, kept = item
+                dev = (
+                    jax.device_put(arr, sharding)
+                    if sharding is not None
+                    else jax.device_put(arr)
+                )
+                dev_q.put(Batch(dev, kept, len(kept)))
+        except BaseException as exc:
+            dev_q.put(exc)
+
+    threads = [
+        threading.Thread(target=decode_stage, daemon=True, name="ssip-decode"),
+        threading.Thread(target=transfer_stage, daemon=True, name="ssip-h2d"),
+    ]
+    for t in threads:
+        t.start()
+    try:
+        while True:
+            item = dev_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # Unblock producers stuck in put() (they re-check `stop` after) and
+        # the transfer stage stuck in get(); repeat until both exit.
+        for _ in range(2 * (num_batches + prefetch) + 4):
+            if not any(t.is_alive() for t in threads):
+                break
+            for q_ in (host_q, dev_q):
+                try:
+                    q_.get_nowait()
+                except queue.Empty:
+                    pass
+            try:
+                host_q.put_nowait(None)
+            except queue.Full:
+                pass
+            for t in threads:
+                t.join(timeout=0.05)
+
+
 def iter_device_batches(
     store: ImageStore,
     indices: Sequence[int],

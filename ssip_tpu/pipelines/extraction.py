@@ -29,7 +29,12 @@ from ssip_tpu.data.discovery import (
     compute_dataset_digest,
     discover_image_records,
 )
-from ssip_tpu.data.pipeline import ImageStore, iter_device_batches
+from ssip_tpu.data.decode import try_decode_image
+from ssip_tpu.data.pipeline import (
+    ImageStore,
+    iter_device_batches,
+    iter_streamed_decode_batches,
+)
 from ssip_tpu.models import ResNet18
 from ssip_tpu.models.port_torch import load_torch_checkpoint
 from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
@@ -64,6 +69,19 @@ class ExtractionConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16" (throughput mode)
     cache_decoded: bool = True
     num_decode_threads: int = 8
+    # "auto" | "always" | "never": stream decode→H2D→embed as a 3-stage
+    # overlapped pipeline in O(batch) host memory instead of decoding the
+    # whole corpus up front. "auto" streams only when there is no decoded
+    # cache and the corpus would not fit the host-RAM budget.
+    streaming: str = "auto"
+    # Throughput mode only (bfloat16): fold BN into conv weights and use the
+    # space-to-depth stem (models/inference.py). float32 parity mode always
+    # runs the exact torch-semantics forward.
+    fast_inference: bool = True
+    # Streaming turbo mode (approximate): DCT-scaled decode + host-side
+    # resize/crop so only crop²×3 uint8 bytes cross the host→device link.
+    # Off by default — it changes resample numerics vs the PIL-exact chain.
+    fast_decode: bool = False
 
 
 @dataclass
@@ -114,15 +132,33 @@ def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
 
 
 @_lru_cache(maxsize=8)
-def _embed_fns(resize: int, crop: int, compute_dtype_name: str, use_pallas: bool):
+def _embed_fns(
+    resize: int, crop: int, compute_dtype_name: str, use_pallas: bool,
+    fast: bool = False,
+):
     """Module-cached jitted embed programs.
 
     Built once per (chain config, dtype, backend) so repeated callers —
     notably the per-shard loop in sharded extraction — reuse jit traces and
     compiled executables instead of re-tracing every call.
+
+    ``fast=True`` uses the folded-BN / space-to-depth forward
+    (``ssip_tpu.models.inference``); its ``variables`` argument is then the
+    folded pytree from ``fold_resnet_extractor``.
     """
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
-    model = ResNet18(num_classes=None, compute_dtype=compute_dtype)
+    if fast:
+        from ssip_tpu.models.inference import make_folded_apply
+
+        folded_apply = make_folded_apply(compute_dtype=compute_dtype)
+
+        def model_apply(variables, x):
+            return folded_apply(variables, x)
+    else:
+        model = ResNet18(num_classes=None, compute_dtype=compute_dtype)
+
+        def model_apply(variables, x):
+            return model.apply(variables, x, train=False)
 
     def preprocess(u8: jax.Array) -> jax.Array:
         if use_pallas:
@@ -136,13 +172,13 @@ def _embed_fns(resize: int, crop: int, compute_dtype_name: str, use_pallas: bool
         batched = images.reshape(steps, batch, *images.shape[1:])
 
         def body(_, u8):
-            return None, model.apply(variables, preprocess(u8), train=False)
+            return None, model_apply(variables, preprocess(u8))
 
         _, feats = jax.lax.scan(body, None, batched)
         return feats.reshape(steps * batch, -1)
 
     embed_step = jax.jit(
-        lambda u8, variables: model.apply(variables, preprocess(u8), train=False)
+        lambda u8, variables: model_apply(variables, preprocess(u8))
     )
     return embed_corpus, embed_step
 
@@ -199,6 +235,133 @@ def nearest_neighbor_probe(
     ]
 
 
+# Host-RAM budget for the decode-once store; corpora above this stream in
+# O(batch) memory instead (the 4M-image scale target would need ~3 TB RAM
+# decoded — reference docs/presentation.md:151-158 aspiration).
+_HOST_STAGE_BUDGET_BYTES = 4 * 1024**3
+
+
+def _probe_image_shape(paths: List[Path]) -> tuple[int, int, int]:
+    """Decode the first readable image to learn the corpus shape."""
+    for p in paths:
+        arr = try_decode_image(p)
+        if arr is not None:
+            return tuple(arr.shape)  # type: ignore[return-value]
+    raise RuntimeError("All images failed to decode")
+
+
+def _should_stream(cfg: ExtractionConfig, paths: List[Path], digest: str) -> bool:
+    if cfg.streaming == "always":
+        return True
+    if cfg.streaming != "auto" or not paths:
+        return False
+    if cfg.cache_decoded:
+        cache_dir = Path(cfg.output_dir) / "cache"
+        data_path, meta_path = ImageStore._cache_paths(cache_dir, digest[:16])
+        if data_path.exists() and meta_path.exists():
+            return False  # memmap-backed store beats re-decoding
+    shape = _probe_image_shape(paths)
+    return int(np.prod(shape)) * len(paths) > _HOST_STAGE_BUDGET_BYTES
+
+
+def _prepare_inference(cfg: ExtractionConfig, variables):
+    """(fast?, pytree-to-pass): fold BN + s2d stem in bf16 throughput mode."""
+    fast = cfg.fast_inference and cfg.compute_dtype == "bfloat16"
+    if fast:
+        from ssip_tpu.models.inference import fold_resnet_extractor
+
+        return True, fold_resnet_extractor(variables)
+    return False, variables
+
+
+def _extract_streaming(
+    records: List[ImageRecord],
+    cfg: ExtractionConfig,
+    variables,
+    weights_source: str,
+    mesh,
+    sharding,
+    devices,
+) -> ExtractionSummary:
+    """Constant-host-memory execution shape: decode ∥ H2D ∥ embed.
+
+    Throughput is max(decode, transfer, compute) rather than their sum; host
+    memory stays O(prefetch × batch) regardless of corpus size.
+    """
+    paths = [r.absolute_path for r in records]
+    turbo = bool(cfg.fast_decode)
+    stream_kwargs: Dict[str, Any] = {}
+    if turbo:
+        # DCT-scaled decode + host resize/crop: only crop²×3 bytes per image
+        # cross the host→device link; the device chain degenerates to
+        # normalize-only (identity resample at resize == crop).
+        h = w = cfg.crop
+        c = 3
+        stream_kwargs = dict(
+            fast_scale=cfg.resize, host_resize=cfg.resize, host_crop=cfg.crop
+        )
+        resize_for_device = cfg.crop
+    else:
+        h, w, c = _probe_image_shape(paths)
+        resize_for_device = cfg.resize
+    use_pallas = devices[0].platform == "tpu" and h == w and c == 3
+    global_batch = pad_to_multiple(cfg.batch_size, mesh.shape["data"])
+    fast, apply_tree = _prepare_inference(cfg, variables)
+    _, embed_step = _embed_fns(
+        resize_for_device, cfg.crop, cfg.compute_dtype, use_pallas, fast
+    )
+    variables_dev = jax.device_put(apply_tree)
+
+    failures: List[Path] = []
+    chunks: list[np.ndarray] = []
+    kept_positions: list[int] = []
+    per_image_times: list[float] = []
+    t_start = time.perf_counter()
+    t_batch = t_start
+    for batch in iter_streamed_decode_batches(
+        paths,
+        global_batch,
+        (h, w, c),
+        convert_rgb=False,  # extraction policy: no RGB conversion
+        num_threads=cfg.num_decode_threads,
+        sharding=sharding,
+        prefetch=2,
+        failures=failures,
+        **stream_kwargs,
+    ):
+        feats = embed_step(batch.data, variables_dev)
+        chunks.append(np.asarray(feats[: batch.valid], dtype=np.float32))
+        kept_positions.extend(int(i) for i in batch.indices)
+        now = time.perf_counter()
+        per_image_times.extend([(now - t_batch) / batch.valid] * batch.valid)
+        t_batch = now
+    total = time.perf_counter() - t_start
+    if not chunks:
+        raise RuntimeError("No embeddings were generated; all images failed to decode?")
+    embeddings = np.concatenate(chunks, axis=0)
+    kept_records = [records[i] for i in kept_positions]
+    LOGGER.info(
+        "Streamed %d embeddings in %.2fs (%.1f imgs/s end-to-end, overlapped "
+        "decode/H2D/compute, O(batch) host memory)",
+        len(embeddings), total, len(embeddings) / max(total, 1e-9),
+    )
+
+    stats = run_sanity_checks(embeddings)
+    probe = nearest_neighbor_probe(
+        embeddings, kept_records, sample_size=cfg.neighbor_sample, seed=cfg.seed
+    )
+    return ExtractionSummary(
+        embeddings=embeddings,
+        records=kept_records,
+        failures=failures,
+        stats=stats,
+        neighbor_probe=probe,
+        total_seconds=total,
+        per_image_seconds=per_image_times,
+        weights_source=weights_source,
+    )
+
+
 def extract_embeddings(
     records: List[ImageRecord], cfg: ExtractionConfig
 ) -> ExtractionSummary:
@@ -210,8 +373,13 @@ def extract_embeddings(
     variables, weights_source = _resolve_weights(cfg)
 
     digest = compute_dataset_digest(records)
+    paths = [r.absolute_path for r in records]
+    if _should_stream(cfg, paths, digest):
+        return _extract_streaming(
+            records, cfg, variables, weights_source, mesh, sharding, devices
+        )
     store = ImageStore.from_paths(
-        [r.absolute_path for r in records],
+        paths,
         convert_rgb=False,  # extraction policy: no RGB conversion
         num_threads=cfg.num_decode_threads,
         cache_dir=Path(cfg.output_dir) / "cache" if cfg.cache_decoded else None,
@@ -230,8 +398,9 @@ def extract_embeddings(
     # one fixed batch shape for the whole stream → single executable
     global_batch = pad_to_multiple(cfg.batch_size, mesh.shape["data"])
 
+    fast, apply_tree = _prepare_inference(cfg, variables)
     embed_corpus, embed_step = _embed_fns(
-        cfg.resize, cfg.crop, cfg.compute_dtype, use_pallas
+        cfg.resize, cfg.crop, cfg.compute_dtype, use_pallas, fast
     )
 
     # Two execution shapes, picked by corpus size:
@@ -248,7 +417,7 @@ def extract_embeddings(
     # closures — closed-over numpy arrays get baked into the program as
     # constants, bloating the HLO by the model size and wrecking both
     # compile time and the persistent-cache hit rate.
-    variables_dev = jax.device_put(variables)
+    variables_dev = jax.device_put(apply_tree)
 
     t_start = time.perf_counter()
     if resident and len(valid) > 0:

@@ -134,6 +134,69 @@ class TestImageStore:
         assert len(store.valid_indices()) == len(files) - 1
         bad.unlink()
 
+    def test_streamed_decode_matches_store(self, tiny_image_tree):
+        from ssip_tpu.data.pipeline import iter_streamed_decode_batches
+
+        records = discover_image_records(tiny_image_tree)
+        paths = [r.absolute_path for r in records]
+        store = ImageStore.from_paths(paths)
+
+        batches = list(
+            iter_streamed_decode_batches(paths, 8, (64, 64, 3))
+        )
+        assert [b.valid for b in batches] == [8, 8, 6]
+        assert all(b.data.shape == (8, 64, 64, 3) for b in batches)
+        streamed = np.concatenate(
+            [np.asarray(b.data)[: b.valid] for b in batches]
+        )
+        idx = np.concatenate([b.indices for b in batches])
+        np.testing.assert_array_equal(idx, np.arange(22))
+        np.testing.assert_array_equal(streamed, store.gather(np.arange(22)))
+
+    def test_streamed_decode_tolerates_corrupt_and_odd_size(self, tiny_image_tree):
+        from PIL import Image
+
+        from ssip_tpu.data.pipeline import iter_streamed_decode_batches
+
+        bad = tiny_image_tree / "sans_label" / "corrupt.jpg"
+        bad.write_bytes(b"not a jpeg")
+        odd = tiny_image_tree / "sans_label" / "odd_size.jpg"
+        Image.fromarray(
+            np.zeros((32, 48, 3), dtype=np.uint8)
+        ).save(odd)
+        files = unlabeled_files(tiny_image_tree / "sans_label")
+        failures: list = []
+        batches = list(
+            iter_streamed_decode_batches(
+                files, 5, (64, 64, 3), failures=failures
+            )
+        )
+        assert [p.name for p in failures] == ["corrupt.jpg"]
+        total_valid = sum(b.valid for b in batches)
+        assert total_valid == len(files) - 1
+        # valid rows are compacted to the front; odd-size row was resized
+        for b in batches:
+            assert b.data.shape[0] == 5
+            assert len(b.indices) == b.valid
+        bad.unlink()
+        odd.unlink()
+
+    def test_streamed_decode_early_exit_joins_threads(self, tiny_image_tree):
+        import threading
+
+        from ssip_tpu.data.pipeline import iter_streamed_decode_batches
+
+        files = unlabeled_files(tiny_image_tree / "sans_label")
+        it = iter_streamed_decode_batches(files, 2, (64, 64, 3), prefetch=1)
+        next(it)
+        it.close()  # consumer abandons the stream mid-way
+        # give the generator's finally a beat, then assert no leaked threads
+        remaining = [
+            t.name for t in threading.enumerate()
+            if t.name in ("ssip-decode", "ssip-h2d") and t.is_alive()
+        ]
+        assert remaining == []
+
     def test_decode_cache_roundtrip(self, tiny_image_tree, tmp_path):
         records = discover_image_records(tiny_image_tree)
         paths = [r.absolute_path for r in records]

@@ -57,6 +57,93 @@ def test_extraction_cli_end_to_end(tiny_image_tree, tmp_path, monkeypatch):
     assert (out / "logs" / "feature_extraction.log").exists()
 
 
+def test_streaming_extraction_matches_store_path(tiny_image_tree, tmp_path):
+    """The O(batch)-memory streamed shape is numerically identical to the
+    decode-once store shape (same embeddings, same record order)."""
+    from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
+
+    cfg = dict(
+        data_dir=tiny_image_tree,
+        device="cpu",
+        batch_size=8,
+        cache_decoded=False,
+    )
+    stored = run_extraction(
+        ExtractionConfig(output_dir=tmp_path / "o1", streaming="never", **cfg)
+    )
+    streamed = run_extraction(
+        ExtractionConfig(output_dir=tmp_path / "o2", streaming="always", **cfg)
+    )
+    # different execution shapes compile different programs (one fused scan
+    # vs per-batch steps) → fp reduction order differs at ~1e-7
+    np.testing.assert_allclose(
+        stored.embeddings, streamed.embeddings, atol=1e-5, rtol=1e-5
+    )
+    assert [r.relative_path for r in stored.records] == [
+        r.relative_path for r in streamed.records
+    ]
+
+
+def test_streaming_extraction_tolerates_corrupt_file(tiny_image_tree, tmp_path):
+    from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
+
+    bad = tiny_image_tree / "sans_label" / "zz_corrupt.jpg"
+    bad.write_bytes(b"not a jpeg")
+    summary = run_extraction(
+        ExtractionConfig(
+            data_dir=tiny_image_tree,
+            output_dir=tmp_path / "o",
+            device="cpu",
+            batch_size=8,
+            cache_decoded=False,
+            streaming="always",
+        )
+    )
+    assert summary.embeddings.shape[0] == 22
+    assert [p.name for p in summary.failures] == ["zz_corrupt.jpg"]
+    bad.unlink()
+
+
+def test_bf16_fast_path_close_to_f32_parity_mode(tiny_image_tree, tmp_path):
+    """Throughput mode (bf16 + folded BN + s2d stem) tracks the exact f32
+    forward: unit-normalized embeddings stay highly aligned per image."""
+    from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
+
+    cfg = dict(
+        data_dir=tiny_image_tree, device="cpu", batch_size=8, cache_decoded=False,
+    )
+    exact = run_extraction(
+        ExtractionConfig(output_dir=tmp_path / "f32", compute_dtype="float32", **cfg)
+    ).embeddings
+    fast = run_extraction(
+        ExtractionConfig(output_dir=tmp_path / "bf16", compute_dtype="bfloat16", **cfg)
+    ).embeddings
+
+    def unit(a):
+        return a / np.linalg.norm(a, axis=1, keepdims=True)
+
+    cos = (unit(exact) * unit(fast)).sum(axis=1)
+    assert cos.min() > 0.995, cos.min()
+
+
+def test_turbo_streaming_extraction_runs_and_is_deterministic(
+    tiny_image_tree, tmp_path
+):
+    """--fast-decode turbo mode (DCT-scaled decode + host crop): approximate
+    resample numerics by design, but complete, ordered, and deterministic."""
+    from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
+
+    cfg = dict(
+        data_dir=tiny_image_tree, device="cpu", batch_size=8,
+        cache_decoded=False, streaming="always", fast_decode=True,
+    )
+    s1 = run_extraction(ExtractionConfig(output_dir=tmp_path / "t1", **cfg))
+    s2 = run_extraction(ExtractionConfig(output_dir=tmp_path / "t2", **cfg))
+    assert s1.embeddings.shape == (22, 512)
+    assert np.isfinite(s1.embeddings).all()
+    np.testing.assert_array_equal(s1.embeddings, s2.embeddings)
+
+
 def test_extraction_deterministic(tiny_image_tree, tmp_path):
     from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
 
