@@ -3,31 +3,34 @@
 Measures the flagship hot path — fused Pallas preprocessing (uint8 512² →
 normalized 224²) + frozen ResNet-18 forward in bf16 — with data resident in
 HBM, many steps amortized inside one executable (``lax.scan`` over batches ×
-``fori_loop`` reps), and rep-count differencing so the remote-tunnel call
-latency of this environment cancels out. Prints ONE JSON line:
+``fori_loop`` reps), and rep-count differencing over a ~2 s window so the
+remote-tunnel call latency of this environment cancels out (methodology:
+benchmarks/common.py). Prints ONE JSON line:
 
     {"metric": "imgs/sec/chip", "value": N, "unit": "imgs/sec",
      "vs_baseline": N / 359}
 
 vs_baseline is against the reference's committed end-to-end extraction rate
-(359 imgs/s on a CUDA GPU — BASELINE.md). Secondary numbers (end-to-end
-pipeline rate, train step/sec) go to stderr.
+(359 imgs/s on a CUDA GPU — BASELINE.md). Secondary numbers go to stderr:
+the trial spread, the f32 parity-mode rate, and the TRUE cold end-to-end
+extraction rate (disk → decode → H2D → embed, reference-comparable) in both
+sequential and overlapped-stream shapes.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
-import time
 from functools import partial
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from benchmarks.common import log, measure_e2e_extraction, measure_rate
+
 REFERENCE_IMGS_PER_SEC = 359.0  # BASELINE.md: 1506 imgs / 4.20 s end-to-end
 DATA_DIR = Path("/root/reference/mri_dataset_brain_cancer_oc")
-
-
-def log(msg: str) -> None:
-    print(msg, file=sys.stderr, flush=True)
 
 
 def load_real_batches(n_batches: int, batch: int):
@@ -62,10 +65,10 @@ def main() -> None:
     setup_jax()
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ssip_tpu.models import ResNet18
     from ssip_tpu.models.host_init import seeded_init_host
+    from ssip_tpu.models.inference import fold_resnet_extractor, make_folded_apply
     from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
     from ssip_tpu.ops.resize import extraction_preprocess
 
@@ -73,14 +76,22 @@ def main() -> None:
     on_tpu = devices[0].platform == "tpu"
     log(f"devices: {devices}")
 
-    BATCH = 128
-    N_BATCHES = 3
-    model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
-    variables = seeded_init_host(model, 42, (1, 224, 224, 3))
-    variables = jax.device_get(variables)
+    BATCH = int(os.environ.get("SSIP_BENCH_BATCH", "256"))
+    N_BATCHES = int(os.environ.get("SSIP_BENCH_NBATCHES", "4"))
+    # ~2 s differenced window at the expected rate: (HI-LO) passes of
+    # N_BATCHES*BATCH images each, vs 25-150 ms tunnel jitter per call.
+    LO = int(os.environ.get("SSIP_BENCH_LO", "2"))
+    HI = int(os.environ.get("SSIP_BENCH_HI", "50"))
 
-    batches_np = load_real_batches(N_BATCHES, BATCH)
-    batches = jnp.asarray(batches_np)
+    # The shipped bf16 throughput path: fused preproc + folded-BN/s2d forward
+    # (what `src.feature_extraction --compute-dtype bfloat16` executes).
+    model = ResNet18(num_classes=None)
+    variables = seeded_init_host(model, 42, (1, 224, 224, 3))
+    folded = jax.device_put(fold_resnet_extractor(variables))
+    folded_apply = make_folded_apply(compute_dtype=jnp.bfloat16)
+
+    batches = jnp.asarray(load_real_batches(N_BATCHES, BATCH))
+    jax.block_until_ready(batches)
 
     @partial(jax.jit, static_argnames="reps")
     def embed_all(batches, variables, reps):
@@ -90,30 +101,40 @@ def main() -> None:
                     x = preprocess_images_pallas(u8, out_dtype=jnp.bfloat16)
                 else:
                     x = extraction_preprocess(u8, dtype=jnp.bfloat16)
-                feats = model.apply(variables, x, train=False)
+                feats = folded_apply(variables, x)
                 return c + jnp.sum(feats), None
             c, _ = jax.lax.scan(step, acc, batches)
             return c
         return jax.lax.fori_loop(0, reps, one_pass, jnp.float32(0.0))
 
-    # warm both rep counts (compile), then difference to cancel call latency
-    LO, HI = 2, 12
-    float(embed_all(batches, variables, LO))
-    float(embed_all(batches, variables, HI))
+    result = measure_rate(
+        lambda r: embed_all(batches, folded, r),
+        LO,
+        HI,
+        items_per_rep=N_BATCHES * BATCH,
+    )
+    log(f"on-chip embedding bf16 folded (batch {BATCH}): {result} imgs/s")
+    value = result.median
 
-    rates = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(embed_all(batches, variables, LO))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(embed_all(batches, variables, HI))
-        t_hi = time.perf_counter() - t0
-        per_pass = (t_hi - t_lo) / (HI - LO)
-        if per_pass > 0:
-            rates.append(N_BATCHES * BATCH / per_pass)
-    value = float(np.median(rates)) if rates else 0.0
-    log(f"on-chip embedding rates (imgs/s): {[round(r) for r in rates]}")
+    # True cold end-to-end extraction rate (reference-comparable 359 imgs/s):
+    # disk → decode → H2D → embed through the real pipeline, both shapes.
+    if os.environ.get("SSIP_BENCH_SKIP_E2E", "") != "1":
+        try:
+            e2e = measure_e2e_extraction(
+                DATA_DIR, Path("outputs/bench"), batch_size=128
+            )
+            if e2e:
+                log(
+                    "e2e cold extraction: "
+                    f"streamed {e2e['e2e_streamed_imgs_per_sec']:.0f} imgs/s, "
+                    f"sequential {e2e['e2e_sequential_imgs_per_sec']:.0f} imgs/s "
+                    f"(overlap ×{e2e['e2e_overlap_speedup']:.2f}); "
+                    f"decode-only {e2e['e2e_decode_only_imgs_per_sec']:.0f} imgs/s "
+                    f"— host decode is the e2e bottleneck, the on-chip rate above "
+                    f"is the accelerator bound"
+                )
+        except Exception as exc:  # the headline metric must never be lost
+            log(f"e2e extraction bench failed: {exc}")
 
     print(
         json.dumps(

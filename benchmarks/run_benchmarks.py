@@ -1,12 +1,16 @@
 """Full benchmark harness: BASELINE-style table across the hot paths.
 
 Measures (on the current default backend, amortized-and-differenced per the
-shared-tunnel methodology in docs/performance.md):
+shared-tunnel methodology in benchmarks/common.py and docs/performance.md):
 
   1. fused Pallas preprocessing throughput,
-  2. frozen ResNet-18 embedding throughput (preproc + forward), bf16 & f32,
+  2. frozen ResNet-18 embedding throughput (preproc + forward), bf16 & f32 —
+     same window/batch parameters as the driver's ``bench.py`` so the two
+     published numbers agree,
   3. SSL train step/sec (fused-epoch supervised step, batch 16 & 64),
   4. host decode rate (native / PIL),
+  5. TRUE cold end-to-end extraction (disk → decode → H2D → embed), both
+     sequential and overlapped-stream shapes,
 
 and writes ``outputs/notes/benchmarks.md`` + ``outputs/notes/benchmarks.json``
 next to the reference numbers from BASELINE.md.
@@ -26,30 +30,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from benchmarks.common import log, measure_e2e_extraction, measure_rate
+
 REFERENCE = {
     "reference_extraction_imgs_per_sec": 359.0,  # BASELINE.md end-to-end
     "target_imgs_per_sec_chip": 5000.0,
 }
-
-
-def log(msg):
-    print(msg, file=sys.stderr, flush=True)
-
-
-def measure(fn, lo=2, hi=12, trials=3, items_per_rep=1):
-    """Median rate from rep-count differencing."""
-    import numpy as np
-
-    float(fn(lo))
-    float(fn(hi))
-    rates = []
-    for _ in range(trials):
-        t0 = time.perf_counter(); float(fn(lo)); t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(fn(hi)); t_hi = time.perf_counter() - t0
-        per = (t_hi - t_lo) / (hi - lo)
-        if per > 0:
-            rates.append(items_per_rep / per)
-    return float(np.median(rates)) if rates else 0.0
+CORPUS = Path("/root/reference/mri_dataset_brain_cancer_oc")
 
 
 def main() -> None:
@@ -72,12 +59,20 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     rng = np.random.default_rng(0)
-    B = 128 if on_tpu else 16
-    NB = 3 if not args.quick else 2
+    # identical parameters to bench.py on TPU so the numbers reconcile
+    B = 256 if on_tpu else 16
+    NB = 4 if on_tpu else 2
+    LO, HI = (2, 50) if on_tpu else (1, 5)
     batches = jnp.asarray(
         rng.integers(0, 256, (NB, B, 512, 512, 3), dtype=np.uint8)
     )
-    results: dict[str, float] = {}
+    jax.block_until_ready(batches)
+    results: dict[str, object] = {}
+
+    def record(key: str, res) -> None:
+        results[key] = res.median
+        results[key + "_spread"] = round(res.spread, 4)
+        log(f"{key}: {res}")
 
     # 1. preprocessing
     @partial(jax.jit, static_argnames="reps")
@@ -94,20 +89,22 @@ def main() -> None:
             return c
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
-    results["preprocess_imgs_per_sec"] = measure(
-        lambda r: pp_loop(batches, r), items_per_rep=NB * B
+    record(
+        "preprocess_imgs_per_sec",
+        measure_rate(lambda r: pp_loop(batches, r), LO, HI, items_per_rep=NB * B),
     )
-    log(f"preprocess: {results['preprocess_imgs_per_sec']:.0f} imgs/s")
 
-    # 2. embedding throughput
-    for dtype_name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        if args.quick and dtype_name == "f32":
-            continue
-        model = ResNet18(num_classes=None, compute_dtype=dtype)
-        variables = jax.device_put(seeded_init_host(model, 42, (1, 224, 224, 3)))
+    # 2. embedding throughput: shipped bf16 fast path (folded BN + s2d stem),
+    #    plain bf16, and the f32 parity mode
+    from ssip_tpu.models.inference import fold_resnet_extractor, make_folded_apply
 
+    host_variables = seeded_init_host(
+        ResNet18(num_classes=None), 42, (1, 224, 224, 3)
+    )
+
+    def embed_variant(name, apply_fn, tree, dtype, hi):
         @partial(jax.jit, static_argnames="reps")
-        def embed_loop(batches, variables, reps):
+        def embed_loop(batches, tree, reps):
             def body(_, acc):
                 def step(c, u8):
                     x = (
@@ -115,18 +112,35 @@ def main() -> None:
                         if on_tpu
                         else extraction_preprocess(u8, dtype=dtype)
                     )
-                    return c + jnp.sum(model.apply(variables, x, train=False)), None
+                    return c + jnp.sum(apply_fn(tree, x)), None
                 c, _ = jax.lax.scan(step, acc, batches)
                 return c
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-        results[f"embedding_{dtype_name}_imgs_per_sec"] = measure(
-            lambda r: embed_loop(batches, variables, r), items_per_rep=NB * B
+        record(
+            f"embedding_{name}_imgs_per_sec",
+            measure_rate(
+                lambda r: embed_loop(batches, tree, r), LO, hi,
+                items_per_rep=NB * B,
+            ),
         )
-        log(
-            f"embedding {dtype_name}: "
-            f"{results[f'embedding_{dtype_name}_imgs_per_sec']:.0f} imgs/s"
-        )
+
+    folded = jax.device_put(fold_resnet_extractor(host_variables))
+    embed_variant(
+        "bf16", make_folded_apply(compute_dtype=jnp.bfloat16), folded,
+        jnp.bfloat16, HI,
+    )
+    if not args.quick:
+        for dtype_name, dtype in (("bf16_unfolded", jnp.bfloat16), ("f32", jnp.float32)):
+            model = ResNet18(num_classes=None, compute_dtype=dtype)
+            tree = jax.device_put(host_variables)
+            embed_variant(
+                dtype_name,
+                lambda v, x, _m=model: _m.apply(v, x, train=False),
+                tree,
+                dtype,
+                max(LO + 1, HI // 2),
+            )
 
     # 3. train step/sec (fused epochs)
     from ssip_tpu.train.engine import TrainState, make_fused_epoch, make_optimizer
@@ -156,12 +170,16 @@ def main() -> None:
             jax.block_until_ready(out)
             return out
 
-        rate = measure(train_loop, lo=1, hi=4, trials=3, items_per_rep=steps)
-        results[f"train_steps_per_sec_batch{tb}"] = rate
-        log(f"train step/sec (batch {tb}): {rate:.1f}")
+        record(
+            f"train_steps_per_sec_batch{tb}",
+            measure_rate(
+                train_loop, 1, 8 if on_tpu else 3, items_per_rep=steps,
+                max_trials=8,
+            ),
+        )
 
     # 4. host decode
-    data_dir = Path("/root/reference/mri_dataset_brain_cancer_oc/sans_label")
+    data_dir = CORPUS / "sans_label"
     if data_dir.exists():
         from ssip_tpu.data.decode import decode_batch
 
@@ -174,6 +192,17 @@ def main() -> None:
             )
             log(f"decode {label}: {results[f'decode_{label}_imgs_per_sec']:.0f} imgs/s")
 
+    # 5. true cold end-to-end extraction
+    if not args.quick:
+        e2e = measure_e2e_extraction(CORPUS, args.output_dir / "bench")
+        if e2e:
+            results.update(e2e)
+            log(
+                f"e2e cold: streamed {e2e['e2e_streamed_imgs_per_sec']:.0f}, "
+                f"sequential {e2e['e2e_sequential_imgs_per_sec']:.0f}, "
+                f"decode-only {e2e['e2e_decode_only_imgs_per_sec']:.0f} imgs/s"
+            )
+
     results.update(REFERENCE)
     results["platform"] = str(jax.devices()[0])
 
@@ -181,7 +210,12 @@ def main() -> None:
     notes.mkdir(parents=True, exist_ok=True)
     (notes / "benchmarks.json").write_text(json.dumps(results, indent=2, default=str))
 
-    emb = results.get("embedding_bf16_imgs_per_sec", 0.0)
+    def fmt(key: str) -> str:
+        v = results.get(key, 0.0)
+        s = results.get(key + "_spread")
+        return f"{v:.0f}" + (f" (±{float(s) * 50:.0f}%)" if s is not None else "")
+
+    emb = float(results.get("embedding_bf16_imgs_per_sec", 0.0))
     lines = [
         "# Benchmarks",
         "",
@@ -189,29 +223,50 @@ def main() -> None:
         "",
         "| Metric | Value | Reference/Target |",
         "|---|---|---|",
-        f"| Fused preprocess | {results.get('preprocess_imgs_per_sec', 0):.0f} imgs/s | — |",
-        f"| Embedding (bf16) | {emb:.0f} imgs/s/chip | 359 imgs/s (ref GPU e2e); ≥5000 target |",
+        f"| Fused preprocess | {fmt('preprocess_imgs_per_sec')} imgs/s | — |",
+        f"| Embedding (bf16 fast path: folded BN + s2d stem) | {fmt('embedding_bf16_imgs_per_sec')} imgs/s/chip | 359 imgs/s (ref GPU e2e); ≥5000 target |",
     ]
+    if "embedding_bf16_unfolded_imgs_per_sec" in results:
+        lines.append(
+            f"| Embedding (bf16, exact BN forward) | "
+            f"{fmt('embedding_bf16_unfolded_imgs_per_sec')} imgs/s/chip | — |"
+        )
     if "embedding_f32_imgs_per_sec" in results:
         lines.append(
-            f"| Embedding (f32 parity mode) | "
-            f"{results['embedding_f32_imgs_per_sec']:.0f} imgs/s/chip | — |"
+            f"| Embedding (f32 parity mode, on-chip) | "
+            f"{fmt('embedding_f32_imgs_per_sec')} imgs/s/chip | — |"
         )
+    if "e2e_streamed_imgs_per_sec" in results:
+        lines += [
+            f"| E2E cold extraction (streamed, overlapped) | "
+            f"{results['e2e_streamed_imgs_per_sec']:.0f} imgs/s | 359 imgs/s (ref GPU e2e) |",
+            f"| E2E cold extraction (sequential) | "
+            f"{results['e2e_sequential_imgs_per_sec']:.0f} imgs/s | — |",
+            f"| Host decode (corpus, 1-core box) | "
+            f"{results['e2e_decode_only_imgs_per_sec']:.0f} imgs/s | — |",
+        ]
     for tb in (16, 64):
         key = f"train_steps_per_sec_batch{tb}"
         if key in results:
-            lines.append(
-                f"| Train step/sec (batch {tb}) | {results[key]:.1f} | — |"
-            )
+            lines.append(f"| Train step/sec (batch {tb}) | {fmt(key)} | — |")
     for label in ("native", "pil"):
         key = f"decode_{label}_imgs_per_sec"
         if key in results:
-            lines.append(f"| Host decode ({label}) | {results[key]:.0f} imgs/s/core | — |")
+            lines.append(f"| Host decode ({label}, 64 imgs) | {results[key]:.0f} imgs/s/core | — |")
     lines.append("")
     lines.append(
-        f"Embedding throughput vs reference end-to-end: "
-        f"**{emb / 359.0:.1f}×**; vs 5k/chip target: **{emb / 5000.0:.1f}×**."
+        f"On-chip embedding vs reference end-to-end: **{emb / 359.0:.1f}×**; "
+        f"vs 5k/chip target: **{emb / 5000.0:.1f}×**."
     )
+    if "e2e_streamed_imgs_per_sec" in results:
+        e2e_rate = results["e2e_streamed_imgs_per_sec"]
+        lines.append(
+            f"True cold e2e (disk→decode→H2D→embed): **{e2e_rate / 359.0:.1f}×** the "
+            f"reference's 359 imgs/s; bottleneck is single-core host JPEG decode "
+            f"(overlap hides H2D+compute: ×{results.get('e2e_overlap_speedup', 1.0):.2f} "
+            f"over the sequential shape). Warm-cache runs bypass decode entirely "
+            f"(memmap store) and run at the on-chip rate."
+        )
     (notes / "benchmarks.md").write_text("\n".join(lines) + "\n")
     print(json.dumps({"embedding_bf16_imgs_per_sec": emb}))
 
