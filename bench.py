@@ -120,18 +120,22 @@ def main() -> None:
     # disk → decode → H2D → embed through the real pipeline, both shapes.
     if os.environ.get("SSIP_BENCH_SKIP_E2E", "") != "1":
         try:
+            from benchmarks.common import e2e_bottleneck
+
             e2e = measure_e2e_extraction(
                 DATA_DIR, Path("outputs/bench"), batch_size=128
             )
             if e2e:
                 log(
                     "e2e cold extraction: "
+                    f"turbo {e2e['e2e_turbo_imgs_per_sec']:.0f} imgs/s, "
                     f"streamed {e2e['e2e_streamed_imgs_per_sec']:.0f} imgs/s, "
                     f"sequential {e2e['e2e_sequential_imgs_per_sec']:.0f} imgs/s "
                     f"(overlap ×{e2e['e2e_overlap_speedup']:.2f}); "
-                    f"decode-only {e2e['e2e_decode_only_imgs_per_sec']:.0f} imgs/s "
-                    f"— host decode is the e2e bottleneck, the on-chip rate above "
-                    f"is the accelerator bound"
+                    f"decode-only {e2e['e2e_decode_only_imgs_per_sec']:.0f} imgs/s, "
+                    f"h2d link {e2e['h2d_link_mb_per_sec']:.0f} MB/s — "
+                    f"e2e bottleneck: {e2e_bottleneck(e2e, 512 * 512 * 3)}; "
+                    f"the on-chip rate above is the accelerator bound"
                 )
         except Exception as exc:  # the headline metric must never be lost
             log(f"e2e extraction bench failed: {exc}")

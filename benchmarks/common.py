@@ -85,6 +85,37 @@ def measure_rate(
     return RateResult(med, trimmed[0], trimmed[-1], spread, len(rates))
 
 
+def measure_h2d_link(chunk_mb: int = 64) -> float:
+    """Host→device link bandwidth (MB/s), differenced and completion-forced.
+
+    ``block_until_ready`` can return before data actually lands on this
+    tunnel, so each transfer is forced by fetching a scalar that depends on
+    the device buffer; k=1 vs k=4 differencing cancels the per-call latency
+    and the scalar round-trip.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    buf = np.random.default_rng(0).integers(
+        0, 256, (chunk_mb, 1024, 1024), dtype=np.uint8
+    )
+
+    def push(k: int) -> float:
+        t0 = time.perf_counter()
+        acc = []
+        for _ in range(k):
+            acc.append(jax.device_put(buf))
+        # force: a reduction over every transferred buffer
+        float(sum(jnp.sum(x[:, ::257, ::263].astype(jnp.int32)) for x in acc))
+        return time.perf_counter() - t0
+
+    push(1)  # warm (compile of the reduction + session)
+    t1, t4 = push(1), push(4)
+    per_chunk = (t4 - t1) / 3
+    return chunk_mb / max(per_chunk, 1e-9)
+
+
 def measure_e2e_extraction(
     data_dir: Path,
     output_dir: Path,
@@ -98,6 +129,7 @@ def measure_e2e_extraction(
     the corpus is absent. Each shape runs once to warm compiles (persistent
     cache makes reruns cheap), then once timed.
     """
+    from ssip_tpu.data.decode import decode_batch
     from ssip_tpu.data.discovery import discover_image_records
     from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
 
@@ -107,8 +139,26 @@ def measure_e2e_extraction(
     if not records:
         return None
     n = len(records)
+    paths = [r.absolute_path for r in records]
 
-    def run(streaming: str, tag: str) -> float:
+    results: Dict[str, float] = {"e2e_num_images": float(n)}
+    results["h2d_link_mb_per_sec"] = measure_h2d_link()
+
+    # Decode-only rate FIRST (the host-side bound), in bounded chunks and
+    # before any device work so neither allocator pressure from the
+    # extraction runs nor jax runtime threads skew it. The first chunk also
+    # warms the OS page cache for the extraction runs below.
+    n_ok, t_decode = 0, 0.0
+    for lo in range(0, n, 256):
+        chunk = paths[lo : lo + 256]
+        t0 = time.perf_counter()
+        arrays, failures = decode_batch(chunk, num_threads=8)
+        t_decode += time.perf_counter() - t0
+        n_ok += len(chunk) - len(failures)
+        del arrays
+    results["e2e_decode_only_imgs_per_sec"] = n_ok / max(t_decode, 1e-9)
+
+    def run(streaming: str, tag: str, fast_decode: bool = False) -> float:
         cfg = ExtractionConfig(
             data_dir=data_dir,
             output_dir=output_dir / f"e2e_{tag}",
@@ -116,26 +166,34 @@ def measure_e2e_extraction(
             cache_decoded=False,  # COLD: decode from disk every run
             compute_dtype=compute_dtype,
             streaming=streaming,
+            fast_decode=fast_decode,
         )
-        run_extraction(cfg)  # warm-up: compile + page cache
+        run_extraction(cfg)  # warm-up: compile + page cache + session init
+        # total_seconds covers disk → decode → stage/H2D → embed in every
+        # execution shape (extraction.py starts the clock before the store
+        # build) — the same span the reference's 359 imgs/s measures.
         summary = run_extraction(cfg)
         return len(summary.embeddings) / max(summary.total_seconds, 1e-9)
 
-    results: Dict[str, float] = {"e2e_num_images": float(n)}
     results["e2e_sequential_imgs_per_sec"] = run("never", "seq")
     results["e2e_streamed_imgs_per_sec"] = run("always", "stream")
-
-    # decode-only rate on the same corpus (the host-side bound)
-    from ssip_tpu.data.decode import decode_batch
-
-    paths = [r.absolute_path for r in records]
-    t0 = time.perf_counter()
-    _, failures = decode_batch(paths, num_threads=8)
-    results["e2e_decode_only_imgs_per_sec"] = (n - len(failures)) / (
-        time.perf_counter() - t0
-    )
+    results["e2e_turbo_imgs_per_sec"] = run("always", "turbo", fast_decode=True)
     results["e2e_overlap_speedup"] = (
         results["e2e_streamed_imgs_per_sec"]
         / max(results["e2e_sequential_imgs_per_sec"], 1e-9)
     )
     return results
+
+
+def e2e_bottleneck(results: Dict[str, float], image_bytes: int) -> str:
+    """Name the measured e2e bottleneck stage from the stage rates."""
+    decode = results.get("e2e_decode_only_imgs_per_sec", float("inf"))
+    link_mb = results.get("h2d_link_mb_per_sec", float("inf"))
+    link = link_mb * 1e6 / image_bytes
+    if link < decode:
+        return (
+            f"host→device link ({link_mb:.0f} MB/s ≈ {link:.0f} imgs/s at "
+            f"{image_bytes / 1e3:.0f} KB/img; --fast-decode crops host-side "
+            f"to cut bytes/img)"
+        )
+    return f"host JPEG decode ({decode:.0f} imgs/s)"
