@@ -68,7 +68,6 @@ def main() -> None:
 
     from ssip_tpu.models import ResNet18
     from ssip_tpu.models.host_init import seeded_init_host
-    from ssip_tpu.models.inference import fold_resnet_extractor, make_folded_apply
     from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
     from ssip_tpu.ops.resize import extraction_preprocess
 
@@ -83,12 +82,13 @@ def main() -> None:
     LO = int(os.environ.get("SSIP_BENCH_LO", "2"))
     HI = int(os.environ.get("SSIP_BENCH_HI", "50"))
 
-    # The shipped bf16 throughput path: fused preproc + folded-BN/s2d forward
-    # (what `src.feature_extraction --compute-dtype bfloat16` executes).
-    model = ResNet18(num_classes=None)
-    variables = seeded_init_host(model, 42, (1, 224, 224, 3))
-    folded = jax.device_put(fold_resnet_extractor(variables))
-    folded_apply = make_folded_apply(compute_dtype=jnp.bfloat16)
+    # The shipped bf16 throughput path: fused Pallas preproc + plain Flax
+    # forward (what `src.feature_extraction --compute-dtype bfloat16` runs).
+    # Measured head-to-head, manual BN folding / s2d stem is 1-2.5% slower
+    # than letting XLA fuse (see models/inference.py) — so the bench runs
+    # exactly what ships.
+    model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
+    variables = jax.device_put(seeded_init_host(model, 42, (1, 224, 224, 3)))
 
     batches = jnp.asarray(load_real_batches(N_BATCHES, BATCH))
     jax.block_until_ready(batches)
@@ -101,19 +101,19 @@ def main() -> None:
                     x = preprocess_images_pallas(u8, out_dtype=jnp.bfloat16)
                 else:
                     x = extraction_preprocess(u8, dtype=jnp.bfloat16)
-                feats = folded_apply(variables, x)
+                feats = model.apply(variables, x, train=False)
                 return c + jnp.sum(feats), None
             c, _ = jax.lax.scan(step, acc, batches)
             return c
         return jax.lax.fori_loop(0, reps, one_pass, jnp.float32(0.0))
 
     result = measure_rate(
-        lambda r: embed_all(batches, folded, r),
+        lambda r: embed_all(batches, variables, r),
         LO,
         HI,
         items_per_rep=N_BATCHES * BATCH,
     )
-    log(f"on-chip embedding bf16 folded (batch {BATCH}): {result} imgs/s")
+    log(f"on-chip embedding bf16 (batch {BATCH}): {result} imgs/s")
     value = result.median
 
     # True cold end-to-end extraction rate (reference-comparable 359 imgs/s):

@@ -158,7 +158,11 @@ def measure_e2e_extraction(
         del arrays
     results["e2e_decode_only_imgs_per_sec"] = n_ok / max(t_decode, 1e-9)
 
-    def run(streaming: str, tag: str, fast_decode: bool = False) -> float:
+    def run(
+        streaming: str, tag: str, fast_decode: bool = False, repeats: int = 1
+    ) -> float:
+        import numpy as np
+
         cfg = ExtractionConfig(
             data_dir=data_dir,
             output_dir=output_dir / f"e2e_{tag}",
@@ -172,12 +176,19 @@ def measure_e2e_extraction(
         # total_seconds covers disk → decode → stage/H2D → embed in every
         # execution shape (extraction.py starts the clock before the store
         # build) — the same span the reference's 359 imgs/s measures.
-        summary = run_extraction(cfg)
-        return len(summary.embeddings) / max(summary.total_seconds, 1e-9)
+        # Median over repeats: the shared tunnel's bandwidth wanders 2-3×
+        # across minutes, and one cold pass can't be differenced.
+        rates = []
+        for _ in range(repeats):
+            summary = run_extraction(cfg)
+            rates.append(len(summary.embeddings) / max(summary.total_seconds, 1e-9))
+        return float(np.median(rates))
 
     results["e2e_sequential_imgs_per_sec"] = run("never", "seq")
-    results["e2e_streamed_imgs_per_sec"] = run("always", "stream")
-    results["e2e_turbo_imgs_per_sec"] = run("always", "turbo", fast_decode=True)
+    results["e2e_streamed_imgs_per_sec"] = run("always", "stream", repeats=3)
+    results["e2e_turbo_imgs_per_sec"] = run(
+        "always", "turbo", fast_decode=True, repeats=3
+    )
     results["e2e_overlap_speedup"] = (
         results["e2e_streamed_imgs_per_sec"]
         / max(results["e2e_sequential_imgs_per_sec"], 1e-9)

@@ -94,8 +94,8 @@ def main() -> None:
         measure_rate(lambda r: pp_loop(batches, r), LO, HI, items_per_rep=NB * B),
     )
 
-    # 2. embedding throughput: shipped bf16 fast path (folded BN + s2d stem),
-    #    plain bf16, and the f32 parity mode
+    # 2. embedding throughput: shipped plain bf16, the manual folded-BN/s2d
+    #    variant (kept as a measured record), and the f32 parity mode
     from ssip_tpu.models.inference import fold_resnet_extractor, make_folded_apply
 
     host_variables = seeded_init_host(
@@ -125,22 +125,33 @@ def main() -> None:
             ),
         )
 
-    folded = jax.device_put(fold_resnet_extractor(host_variables))
+    # Headline: the shipped plain bf16 forward (measured faster than the
+    # manual folded-BN/s2d variant — XLA already fuses inference BN).
+    bf16_model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
     embed_variant(
-        "bf16", make_folded_apply(compute_dtype=jnp.bfloat16), folded,
-        jnp.bfloat16, HI,
+        "bf16",
+        lambda v, x: bf16_model.apply(v, x, train=False),
+        jax.device_put(host_variables),
+        jnp.bfloat16,
+        HI,
     )
     if not args.quick:
-        for dtype_name, dtype in (("bf16_unfolded", jnp.bfloat16), ("f32", jnp.float32)):
-            model = ResNet18(num_classes=None, compute_dtype=dtype)
-            tree = jax.device_put(host_variables)
-            embed_variant(
-                dtype_name,
-                lambda v, x, _m=model: _m.apply(v, x, train=False),
-                tree,
-                dtype,
-                max(LO + 1, HI // 2),
-            )
+        folded = jax.device_put(fold_resnet_extractor(host_variables))
+        embed_variant(
+            "bf16_folded_s2d",
+            make_folded_apply(compute_dtype=jnp.bfloat16),
+            folded,
+            jnp.bfloat16,
+            max(LO + 1, HI // 2),
+        )
+        f32_model = ResNet18(num_classes=None, compute_dtype=jnp.float32)
+        embed_variant(
+            "f32",
+            lambda v, x: f32_model.apply(v, x, train=False),
+            jax.device_put(host_variables),
+            jnp.float32,
+            max(LO + 1, HI // 2),
+        )
 
     # 3. train step/sec (fused epochs)
     from ssip_tpu.train.engine import TrainState, make_fused_epoch, make_optimizer
@@ -226,12 +237,12 @@ def main() -> None:
         "| Metric | Value | Reference/Target |",
         "|---|---|---|",
         f"| Fused preprocess | {fmt('preprocess_imgs_per_sec')} imgs/s | — |",
-        f"| Embedding (bf16 fast path: folded BN + s2d stem) | {fmt('embedding_bf16_imgs_per_sec')} imgs/s/chip | 359 imgs/s (ref GPU e2e); ≥5000 target |",
+        f"| Embedding (bf16, shipped plain forward) | {fmt('embedding_bf16_imgs_per_sec')} imgs/s/chip | 359 imgs/s (ref GPU e2e); ≥5000 target |",
     ]
-    if "embedding_bf16_unfolded_imgs_per_sec" in results:
+    if "embedding_bf16_folded_s2d_imgs_per_sec" in results:
         lines.append(
-            f"| Embedding (bf16, exact BN forward) | "
-            f"{fmt('embedding_bf16_unfolded_imgs_per_sec')} imgs/s/chip | — |"
+            f"| Embedding (bf16, manual folded-BN + s2d variant) | "
+            f"{fmt('embedding_bf16_folded_s2d_imgs_per_sec')} imgs/s/chip | — |"
         )
     if "embedding_f32_imgs_per_sec" in results:
         lines.append(

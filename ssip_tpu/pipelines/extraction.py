@@ -74,10 +74,13 @@ class ExtractionConfig:
     # whole corpus up front. "auto" streams only when there is no decoded
     # cache and the corpus would not fit the host-RAM budget.
     streaming: str = "auto"
-    # Throughput mode only (bfloat16): fold BN into conv weights and use the
-    # space-to-depth stem (models/inference.py). float32 parity mode always
-    # runs the exact torch-semantics forward.
-    fast_inference: bool = True
+    # Optional bf16 variant: fold BN into conv weights (+ space-to-depth
+    # stem) before the forward (models/inference.py). Measured head-to-head
+    # on v5e this is ~1-2.5% SLOWER than the plain forward — XLA already
+    # constant-folds inference BN into the conv and handles the stem — so
+    # the default is the plain forward; the module remains as the measured
+    # record and for backends where XLA's fusion differs.
+    fast_inference: bool = False
     # Streaming turbo mode (approximate): DCT-scaled decode + host-side
     # resize/crop so only crop²×3 uint8 bytes cross the host→device link.
     # Off by default — it changes resample numerics vs the PIL-exact chain.
