@@ -45,12 +45,26 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument(
         "--log-level", choices=["DEBUG", "INFO", "WARNING", "ERROR"], default="INFO"
     )
+    parser.add_argument(
+        "--device", choices=["cpu", "auto"], default="cpu",
+        help="cpu (default): run the analysis kernels on the host CPU "
+        "backend — this stage is small-N linear algebra (the reference "
+        "runs it on CPU, clustering.py:780-927) and XLA-TPU SVD is "
+        "unreliable over remote runtimes; auto: keep the process default "
+        "backend (accelerator when present)",
+    )
     return parser.parse_args(argv)
 
 
 def main(argv=None) -> None:
     args = parse_args(argv)
     configure_logging(args.log_level)
+    if args.device == "cpu":
+        # Must precede first backend touch; the persistent compile cache
+        # then stays disabled for these CPU compiles (setup_jax invariant).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
     setup_jax()

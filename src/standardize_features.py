@@ -28,12 +28,22 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument(
         "--log-level", choices=["DEBUG", "INFO", "WARNING", "ERROR"], default="INFO"
     )
+    parser.add_argument(
+        "--device", choices=["cpu", "auto"], default="cpu",
+        help="cpu (default): host CPU backend — a mean/std pass over "
+        "[N, 512] gains nothing from an accelerator and skips its "
+        "session-init cost; auto: keep the process default backend",
+    )
     return parser.parse_args(argv)
 
 
 def main(argv=None) -> None:
     args = parse_args(argv)
     configure_logging(args.log_level)
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     standardize_embeddings(args.embeddings_npy, args.embeddings_csv, args.output_npz)
 
 
