@@ -32,6 +32,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument(
         "--compute-dtype", choices=["float32", "bfloat16"], default="float32"
     )
+    parser.add_argument(
+        "--arch", choices=["resnet18", "resnet34", "resnet50"],
+        default="resnet18",
+        help="backbone architecture (reference uses frozen resnet18; "
+        "resnet50 yields 2048-D embeddings)",
+    )
     parser.add_argument("--no-cache", action="store_true", help="skip decode cache")
     parser.add_argument(
         "--streaming", choices=["auto", "always", "never"], default="auto",
@@ -61,6 +67,7 @@ def main(argv=None) -> None:
         verbose=args.verbose,
         weights=args.weights,
         compute_dtype=args.compute_dtype,
+        arch=args.arch,
         cache_decoded=not args.no_cache,
         streaming="always" if args.fast_decode else args.streaming,
         fast_decode=args.fast_decode,

@@ -39,6 +39,12 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         "--resume", action="store_true",
         help="snapshot TrainState every epoch and resume an interrupted run",
     )
+    parser.add_argument(
+        "--arch", choices=["resnet18", "resnet34", "resnet50"],
+        default="resnet18",
+        help="backbone architecture (recorded in artifacts so "
+        "threshold_sweep/predict rebuild the right model)",
+    )
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -60,6 +66,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
     return TrainingConfig(
         strong_data_dir=args.strong_data_dir,
         weak_data_dir=getattr(args, "weak_data_dir", None),
+        arch=args.arch,
         batch_size=args.batch_size,
         val_split=args.val_split,
         test_split=args.test_split,

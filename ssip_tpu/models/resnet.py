@@ -283,3 +283,8 @@ MODEL_FACTORIES = {
     "resnet34": ResNet34,
     "resnet50": ResNet50,
 }
+MODEL_STAGES = {
+    "resnet18": RESNET18_STAGES,
+    "resnet34": RESNET34_STAGES,
+    "resnet50": (3, 4, 6, 3),
+}

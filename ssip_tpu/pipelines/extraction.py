@@ -35,7 +35,7 @@ from ssip_tpu.data.pipeline import (
     iter_device_batches,
     iter_streamed_decode_batches,
 )
-from ssip_tpu.models import ResNet18
+from ssip_tpu.models import MODEL_FACTORIES
 from ssip_tpu.models.port_torch import load_torch_checkpoint
 from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
 from ssip_tpu.ops.resize import extraction_preprocess
@@ -46,7 +46,6 @@ from ssip_tpu.runtime.logging import configure_logging, get_logger
 
 LOGGER = get_logger(__name__)
 
-BACKBONE_NAME = "ssip_tpu.flax.resnet18"
 DEFAULT_WEIGHTS_ENV = "SSIP_RESNET18_WEIGHTS"
 # uint8 corpus size below which the whole dataset is staged in HBM and
 # embedded in one fused dispatch (v5e has 16 GB HBM; leave room for the
@@ -67,6 +66,9 @@ class ExtractionConfig:
     seed: int = 42
     neighbor_sample: int = 8
     compute_dtype: str = "float32"  # "float32" | "bfloat16" (throughput mode)
+    # backbone (ssip_tpu.models.MODEL_FACTORIES key); the reference uses a
+    # frozen resnet18 (feature_extraction.py:210-227), 34/50 are extras.
+    arch: str = "resnet18"
     cache_decoded: bool = True
     num_decode_threads: int = 8
     # "auto" | "always" | "never": stream decode→H2D→embed as a 3-stage
@@ -113,7 +115,9 @@ def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
     env = os.environ.get(DEFAULT_WEIGHTS_ENV)
     if env:
         candidates.append(Path(env))
-    candidates.append(Path(cfg.output_dir) / "models" / "resnet18_imagenet1k.pt")
+    candidates.append(
+        Path(cfg.output_dir) / "models" / f"{cfg.arch}_imagenet1k.pt"
+    )
 
     for path in candidates:
         if path.exists():
@@ -129,7 +133,7 @@ def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
     )
     from ssip_tpu.models.host_init import seeded_init_host
 
-    model = ResNet18(num_classes=None)
+    model = MODEL_FACTORIES[cfg.arch](num_classes=None)
     variables = seeded_init_host(model, cfg.seed, (1, cfg.crop, cfg.crop, 3))
     return variables, f"random_init:seed={cfg.seed}"
 
@@ -137,7 +141,7 @@ def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
 @_lru_cache(maxsize=8)
 def _embed_fns(
     resize: int, crop: int, compute_dtype_name: str, use_pallas: bool,
-    fast: bool = False,
+    fast: bool = False, arch: str = "resnet18",
 ):
     """Module-cached jitted embed programs.
 
@@ -152,13 +156,18 @@ def _embed_fns(
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     if fast:
         from ssip_tpu.models.inference import make_folded_apply
+        from ssip_tpu.models.resnet import MODEL_STAGES
 
-        folded_apply = make_folded_apply(compute_dtype=compute_dtype)
+        folded_apply = make_folded_apply(
+            stage_sizes=MODEL_STAGES[arch],
+            bottleneck=arch == "resnet50",
+            compute_dtype=compute_dtype,
+        )
 
         def model_apply(variables, x):
             return folded_apply(variables, x)
     else:
-        model = ResNet18(num_classes=None, compute_dtype=compute_dtype)
+        model = MODEL_FACTORIES[arch](num_classes=None, compute_dtype=compute_dtype)
 
         def model_apply(variables, x):
             return model.apply(variables, x, train=False)
@@ -272,8 +281,13 @@ def _prepare_inference(cfg: ExtractionConfig, variables):
     fast = cfg.fast_inference and cfg.compute_dtype == "bfloat16"
     if fast:
         from ssip_tpu.models.inference import fold_resnet_extractor
+        from ssip_tpu.models.resnet import MODEL_STAGES
 
-        return True, fold_resnet_extractor(variables)
+        return True, fold_resnet_extractor(
+            variables,
+            stage_sizes=MODEL_STAGES[cfg.arch],
+            bottleneck=cfg.arch == "resnet50",
+        )
     return False, variables
 
 
@@ -311,7 +325,8 @@ def _extract_streaming(
     global_batch = pad_to_multiple(cfg.batch_size, mesh.shape["data"])
     fast, apply_tree = _prepare_inference(cfg, variables)
     _, embed_step = _embed_fns(
-        resize_for_device, cfg.crop, cfg.compute_dtype, use_pallas, fast
+        resize_for_device, cfg.crop, cfg.compute_dtype, use_pallas, fast,
+        arch=cfg.arch,
     )
     variables_dev = jax.device_put(apply_tree)
 
@@ -424,7 +439,8 @@ def extract_embeddings(
 
     fast, apply_tree = _prepare_inference(cfg, variables)
     embed_corpus, embed_step = _embed_fns(
-        cfg.resize, cfg.crop, cfg.compute_dtype, use_pallas, fast
+        cfg.resize, cfg.crop, cfg.compute_dtype, use_pallas, fast,
+        arch=cfg.arch,
     )
 
     # Two execution shapes, picked by corpus size:
@@ -540,7 +556,8 @@ def save_artifacts(
     ).to_csv(reg.embeddings_csv, index=False)
 
     metadata = {
-        "backbone": BACKBONE_NAME,
+        "backbone": f"ssip_tpu.flax.{cfg.arch}",
+        "architecture": cfg.arch,
         "weights": summary.weights_source,
         "layer": "global_avg_pool",
         "embedding_dimension": int(summary.embeddings.shape[1]),
@@ -579,7 +596,7 @@ def save_artifacts(
     reg.feature_summary_md.write_text(
         f"""# Feature Extraction Summary
 
-- Backbone: {BACKBONE_NAME} ({summary.weights_source})
+- Backbone: ssip_tpu.flax.{cfg.arch} ({summary.weights_source})
 - Layer: global average pooled features ({summary.embeddings.shape[1]}-D)
 - Input spec: resize {cfg.resize} → center crop {cfg.crop}, ImageNet normalization
 - Batch size: {cfg.batch_size}

@@ -317,6 +317,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
 
     # ---- artifacts -------------------------------------------------------
     history_payload = {
+        "arch": config.arch,
         "baseline": baseline_history,
         "semi_pretrain": pretrain_history,
         "semi_finetune": finetune_history,
@@ -410,7 +411,8 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     # operating point manifest
     try:
         op_payload = {
-            "model": "semi_supervised_resnet18",
+            "model": f"semi_supervised_{config.arch}",
+            "arch": config.arch,
             "checkpoint": str(reg.semi_checkpoint),
             "positive_class": config.positive_class,
             "classes": list(classes),  # serving derives pos_index from this

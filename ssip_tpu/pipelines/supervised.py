@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ssip_tpu.models import ResNet18
+from ssip_tpu.models import MODEL_FACTORIES
 from ssip_tpu.models.host_init import seeded_init_host
 from ssip_tpu.models.port_torch import load_torch_checkpoint
 from ssip_tpu.ops.thresholds import select_operating_threshold
@@ -40,7 +40,7 @@ def build_classifier_state(
     config: TrainingConfig, num_classes: int, learning_rate: float
 ) -> Tuple[TrainState, Any]:
     """Fresh classifier TrainState: ported backbone (if available) + new fc."""
-    model = ResNet18(num_classes=num_classes)
+    model = MODEL_FACTORIES[config.arch](num_classes=num_classes)
     variables = seeded_init_host(
         model, config.seed, (1, config.image_size, config.image_size, 3)
     )
@@ -179,6 +179,7 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
 
     reg.notes_dir.mkdir(parents=True, exist_ok=True)
     history_payload = {
+        "arch": config.arch,
         "baseline": history,
         "splits": {k: np.asarray(v).tolist() for k, v in splits.items()},
     }

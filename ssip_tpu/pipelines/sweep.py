@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from ssip_tpu.models import ResNet18
+from ssip_tpu.models import MODEL_FACTORIES
 from ssip_tpu.models.host_init import seeded_init_host
 from ssip_tpu.ops.thresholds import sweep_thresholds
 from ssip_tpu.pipelines.train_config import TrainingConfig
@@ -51,6 +51,12 @@ def load_splits(history_path: Path) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v, dtype=np.int64) for k, v in payload["splits"].items()}
 
 
+def load_arch(history_path: Path) -> str:
+    """Backbone recorded by the training run (pre-arch histories: resnet18)."""
+    payload = json.loads(Path(history_path).read_text())
+    return str(payload.get("arch", "resnet18"))
+
+
 def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
@@ -73,10 +79,11 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
     ckpt_path = (
         reg.baseline_checkpoint if cfg.model == "baseline" else reg.semi_checkpoint
     )
-    model = ResNet18(num_classes=len(classes))
+    arch = load_arch(reg.training_history_json)
+    model = MODEL_FACTORIES[arch](num_classes=len(classes))
     template = seeded_init_host(model, 0, (1, cfg.image_size, cfg.image_size, 3))
     variables = load_checkpoint(ckpt_path, template)
-    LOGGER.info("Loaded %s checkpoint from %s", cfg.model, ckpt_path)
+    LOGGER.info("Loaded %s checkpoint (%s) from %s", cfg.model, arch, ckpt_path)
 
     _loss, y_true, _pred, probs_full = run_eval_epoch(
         variables, test_ds, cfg.batch_size, apply_fn=model.apply

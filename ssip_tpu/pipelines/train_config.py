@@ -18,6 +18,11 @@ from ssip_tpu.runtime.artifacts import ArtifactRegistry
 class TrainingConfig:
     strong_data_dir: Path
     weak_data_dir: Optional[Path] = None
+    # backbone architecture (ssip_tpu.models.MODEL_FACTORIES key). The
+    # reference hard-codes resnet18 (common.py:299-304); 34/50 are
+    # TPU-native extras. Recorded in training_history.json and
+    # operating_point.json so sweep/serving rebuild the right model.
+    arch: str = "resnet18"
     batch_size: int = 16
     val_split: float = 0.2
     test_split: float = 0.2

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssip_tpu.models import ResNet18
 from ssip_tpu.models.host_init import seeded_init_host
 from ssip_tpu.runtime.artifacts import ArtifactRegistry
 from ssip_tpu.runtime.logging import get_logger
@@ -57,6 +56,7 @@ class ScreeningPredictor:
         batch_size: int = 64,
         compute_dtype: str = "float32",
         num_classes: int = 2,
+        arch: str = "resnet18",
     ) -> None:
         self.threshold = float(threshold)
         self.positive_class = positive_class
@@ -64,7 +64,11 @@ class ScreeningPredictor:
         self.image_size = image_size
         self.batch_size = batch_size
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        self._model = ResNet18(num_classes=num_classes, compute_dtype=dtype)
+        from ssip_tpu.models import MODEL_FACTORIES
+
+        self._model = MODEL_FACTORIES[arch](
+            num_classes=num_classes, compute_dtype=dtype
+        )
         self._variables = jax.device_put(variables)
 
         @partial(jax.jit, static_argnames=("steps", "batch"))
@@ -108,6 +112,7 @@ class ScreeningPredictor:
 
         threshold, positive_class = 0.5, "cancer"
         classes = None
+        arch = "resnet18"
         op_path = reg.operating_point_json
         if op_path.exists():
             op = json.loads(op_path.read_text())
@@ -115,6 +120,7 @@ class ScreeningPredictor:
                 threshold = float(op["threshold"])
             positive_class = op.get("positive_class", positive_class)
             classes = op.get("classes")
+            arch = str(op.get("arch", arch))
         else:
             LOGGER.warning(
                 "No operating_point.json under %s — defaulting threshold 0.5",
@@ -122,15 +128,19 @@ class ScreeningPredictor:
             )
 
         num_classes = len(classes) if classes else 2
+        from ssip_tpu.models import MODEL_FACTORIES
+
         template = seeded_init_host(
-            ResNet18(num_classes=num_classes), 0, (1, image_size, image_size, 3)
+            MODEL_FACTORIES[arch](num_classes=num_classes),
+            0,
+            (1, image_size, image_size, 3),
         )
         try:
             variables = load_checkpoint(ckpt, template)
         except Exception as exc:
             raise RuntimeError(
                 f"Failed to restore checkpoint {ckpt} against a "
-                f"{num_classes}-class ResNet-18 head (classes from "
+                f"{num_classes}-class {arch} head (classes from "
                 f"{op_path.name}: {classes}). If the checkpoint was trained "
                 "with a different class count, regenerate "
                 "operating_point.json or pass matching artifacts."
@@ -153,7 +163,7 @@ class ScreeningPredictor:
         return cls(
             variables, threshold, positive_class, pos_index,
             image_size=image_size, batch_size=batch_size,
-            compute_dtype=compute_dtype, num_classes=num_classes,
+            compute_dtype=compute_dtype, num_classes=num_classes, arch=arch,
         )
 
     # -- inference ----------------------------------------------------------

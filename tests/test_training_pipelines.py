@@ -72,9 +72,10 @@ class TestSemiSupervisedArtifacts:
         _, out, _, _ = trained_outputs
         payload = json.loads((out / "notes" / "training_history.json").read_text())
         assert set(payload) == {
-            "baseline", "semi_pretrain", "semi_finetune", "splits",
+            "arch", "baseline", "semi_pretrain", "semi_finetune", "splits",
             "pseudo_label_count",
         }
+        assert payload["arch"] == "resnet18"
         assert payload["pseudo_label_count"] > 0
         splits = payload["splits"]
         assert set(splits) == {"train", "val", "test"}
