@@ -116,6 +116,21 @@ def main() -> None:
     log(f"on-chip embedding bf16 (batch {BATCH}): {result} imgs/s")
     value = result.median
 
+    # The headline JSON line goes out FIRST so a driver-side timeout during
+    # the (slow, tunnel-weather-dependent) e2e diagnostics below can never
+    # cost the round its metric.
+    print(
+        json.dumps(
+            {
+                "metric": "imgs/sec/chip",
+                "value": round(value, 1),
+                "unit": "imgs/sec",
+                "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 3),
+            }
+        ),
+        flush=True,
+    )
+
     # True cold end-to-end extraction rate (reference-comparable 359 imgs/s):
     # disk → decode → H2D → embed through the real pipeline, both shapes.
     if os.environ.get("SSIP_BENCH_SKIP_E2E", "") != "1":
@@ -137,20 +152,8 @@ def main() -> None:
                     f"e2e bottleneck: {e2e_bottleneck(e2e, 512 * 512 * 3)}; "
                     f"the on-chip rate above is the accelerator bound"
                 )
-        except Exception as exc:  # the headline metric must never be lost
+        except Exception as exc:  # diagnostics only; headline already printed
             log(f"e2e extraction bench failed: {exc}")
-
-    print(
-        json.dumps(
-            {
-                "metric": "imgs/sec/chip",
-                "value": round(value, 1),
-                "unit": "imgs/sec",
-                "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 3),
-            }
-        ),
-        flush=True,
-    )
 
 
 if __name__ == "__main__":
