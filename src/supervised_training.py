@@ -45,6 +45,11 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         help="backbone architecture (recorded in artifacts so "
         "threshold_sweep/predict rebuild the right model)",
     )
+    parser.add_argument(
+        "--mesh-model", type=int, default=1,
+        help="tensor-parallel degree: shard wide conv output channels and "
+        "the fc input axis over this many devices (1 = pure data parallel)",
+    )
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -67,6 +72,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         strong_data_dir=args.strong_data_dir,
         weak_data_dir=getattr(args, "weak_data_dir", None),
         arch=args.arch,
+        mesh_model=args.mesh_model,
         batch_size=args.batch_size,
         val_split=args.val_split,
         test_split=args.test_split,

@@ -79,6 +79,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tp_param_spec(path, leaf, model_par: int) -> P:
+    """Tensor-parallel PartitionSpec for one parameter/optimizer leaf.
+
+    The rules that ``__graft_entry__.dryrun_multichip`` validates on every
+    driver run: wide conv kernels (HWIO) shard their output-channel axis
+    over the model axis; the classifier ``fc`` matrix shards its input
+    axis (so the preceding feature gather stays local and XLA inserts one
+    psum over the logits); everything else — stems, narrow convs, BN
+    affine/stats, biases — replicates. Shape-based so the same rule covers
+    optimizer moments (mu/nu mirror parameter shapes and paths).
+    """
+    names = [str(getattr(p, "key", p)) for p in path]
+    if (
+        getattr(leaf, "ndim", 0) == 4
+        and leaf.shape[-1] % model_par == 0
+        and leaf.shape[-1] >= 128
+    ):
+        return P(None, None, None, MODEL_AXIS)
+    if names[-2:] == ["fc", "kernel"] and getattr(leaf, "ndim", 0) == 2:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def tree_shardings(mesh: Mesh, tree):
+    """Per-leaf NamedShardings for a param/state pytree on this mesh.
+
+    With ``model == 1`` every leaf replicates (pure DP — the fast path the
+    engine used before TP became reachable); with ``model > 1`` the
+    ``tp_param_spec`` rules apply leafwise.
+    """
+    import jax.tree_util as jtu
+
+    model_par = int(mesh.shape.get(MODEL_AXIS, 1))
+    if model_par <= 1:
+        return jtu.tree_map(lambda _: NamedSharding(mesh, P()), tree)
+    return jtu.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, tp_param_spec(path, leaf, model_par)),
+        tree,
+    )
+
+
 def pad_to_multiple(n: int, multiple: int) -> int:
     """Smallest padded size >= n divisible by ``multiple``."""
     if multiple <= 0:

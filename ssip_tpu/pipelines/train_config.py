@@ -56,11 +56,15 @@ class TrainingConfig:
     # steps (None = all local devices). Sync-BN over the global batch keeps
     # the trajectory device-count invariant.
     mesh_data: Optional[int] = None
+    # tensor-parallel degree (mesh model axis): wide conv output channels
+    # and the fc input axis shard over this many devices
+    # (parallel.mesh.tp_param_spec). 1 = pure DP.
+    mesh_model: int = 1
 
     def build_mesh(self):
         from ssip_tpu.parallel.mesh import training_mesh
 
-        return training_mesh(self.mesh_data)
+        return training_mesh(self.mesh_data, model=self.mesh_model)
 
     def resume_path(self, stream: str):
         if not self.resume:

@@ -297,6 +297,16 @@ def _epoch_shardings(mesh) -> Tuple[Any, Any]:
     )
 
 
+def _place_tree(mesh, tree):
+    """Place a param/state pytree on the mesh: replicated under pure DP,
+    TP-sharded (wide conv O-axes / fc input axis over the model axis) when
+    the mesh has a model dimension — rules in parallel.mesh.tree_shardings.
+    """
+    from ssip_tpu.parallel.mesh import tree_shardings
+
+    return jax.device_put(tree, tree_shardings(mesh, tree))
+
+
 def _mesh_row_width(mesh, batch_size: int) -> int:
     from ssip_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
 
@@ -332,8 +342,8 @@ def run_eval_epoch(
         images = jax.device_put(images, batch_sh)
         labels = jax.device_put(labels, batch_sh)
         valid_dev = jax.device_put(valid_dev, batch_sh)
-        params = jax.device_put(params, rep_sh)
-        batch_stats = jax.device_put(batch_stats, rep_sh)
+        params = _place_tree(mesh, params)
+        batch_stats = _place_tree(mesh, batch_stats)
     losses, preds, probs = eval_epoch_fused(
         apply_fn, params, batch_stats, images, labels, valid_dev,
     )
@@ -387,7 +397,7 @@ def train_model(
     if mesh is not None:
         batch_sh, rep_sh = _epoch_shardings(mesh)
         row_width = _mesh_row_width(mesh, batch_size)
-        state = jax.device_put(state, rep_sh)
+        state = _place_tree(mesh, state)
     history: Dict[str, List[float]] = {
         "train_loss": [], "val_loss": [], "train_acc": [],
         "val_acc": [], "train_f1": [], "val_f1": [],
@@ -418,7 +428,7 @@ def train_model(
             driver = None
         if driver is not None:
             if mesh is not None:
-                state = jax.device_put(state, rep_sh)
+                state = _place_tree(mesh, state)
             history = driver["history"]
             best_val_loss = driver["best_val_loss"]
             early_patience = driver["early_patience"]

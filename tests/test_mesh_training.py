@@ -142,6 +142,40 @@ def test_adamw_metrics_equivalent_across_device_counts():
     )
 
 
+def test_tensor_parallel_trajectory_matches_single_device():
+    """TP (data=4, model=2) matches the 1-device SGD trajectory.
+
+    Wide conv output channels and the fc input axis shard over the model
+    axis (parallel.mesh.tp_param_spec); XLA inserts the activation
+    collectives. Same invariance bar as the pure-DP test: sharding must
+    only introduce fp reduction-order noise.
+    """
+    mesh1 = build_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+    mesh_tp = build_mesh(MeshSpec(data=4, model=2), devices=jax.devices()[:8])
+
+    state1, hist1 = _run(mesh1, optimizer="sgd", epochs=2)
+    state_tp, hist_tp = _run(mesh_tp, optimizer="sgd", epochs=2)
+
+    for key in ("train_loss", "val_loss"):
+        np.testing.assert_allclose(
+            hist1[key][0], hist_tp[key][0], rtol=1e-4, err_msg=f"{key}[0]"
+        )
+        np.testing.assert_allclose(
+            hist1[key][1], hist_tp[key][1], rtol=1e-2, err_msg=f"{key}[1]"
+        )
+    for key in ("train_acc", "val_acc", "train_f1", "val_f1"):
+        np.testing.assert_allclose(hist1[key], hist_tp[key], err_msg=key)
+    # the fc kernel really is sharded over the model axis
+    fc_sharding = state_tp.params["fc"]["kernel"].sharding
+    assert "model" in str(fc_sharding.spec), fc_sharding
+    flat1 = jax.tree_util.tree_leaves(state1.params)
+    flat_tp = jax.tree_util.tree_leaves(state_tp.params)
+    for a, b in zip(flat1, flat_tp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4
+        )
+
+
 def test_mesh_none_matches_mesh1():
     """mesh=None (legacy single-device path) == explicit 1-device mesh."""
     mesh1 = build_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
