@@ -144,6 +144,8 @@ def main() -> None:
                 log(
                     "e2e cold extraction: "
                     f"turbo {e2e['e2e_turbo_imgs_per_sec']:.0f} imgs/s, "
+                    f"host-preproc (exact) "
+                    f"{e2e['e2e_hostprep_imgs_per_sec']:.0f} imgs/s, "
                     f"streamed {e2e['e2e_streamed_imgs_per_sec']:.0f} imgs/s, "
                     f"sequential {e2e['e2e_sequential_imgs_per_sec']:.0f} imgs/s "
                     f"(overlap ×{e2e['e2e_overlap_speedup']:.2f}); "

@@ -159,7 +159,11 @@ def measure_e2e_extraction(
     results["e2e_decode_only_imgs_per_sec"] = n_ok / max(t_decode, 1e-9)
 
     def run(
-        streaming: str, tag: str, fast_decode: bool = False, repeats: int = 1
+        streaming: str,
+        tag: str,
+        fast_decode: bool = False,
+        host_preproc: bool = False,
+        repeats: int = 1,
     ) -> float:
         import numpy as np
 
@@ -171,6 +175,7 @@ def measure_e2e_extraction(
             compute_dtype=compute_dtype,
             streaming=streaming,
             fast_decode=fast_decode,
+            host_preproc=host_preproc,
         )
         run_extraction(cfg)  # warm-up: compile + page cache + session init
         # total_seconds covers disk → decode → stage/H2D → embed in every
@@ -186,6 +191,9 @@ def measure_e2e_extraction(
 
     results["e2e_sequential_imgs_per_sec"] = run("never", "seq")
     results["e2e_streamed_imgs_per_sec"] = run("always", "stream", repeats=3)
+    results["e2e_hostprep_imgs_per_sec"] = run(
+        "always", "hostprep", host_preproc=True, repeats=3
+    )
     results["e2e_turbo_imgs_per_sec"] = run(
         "always", "turbo", fast_decode=True, repeats=3
     )

@@ -210,6 +210,7 @@ def main() -> None:
             results.update(e2e)
             log(
                 f"e2e cold: turbo {e2e['e2e_turbo_imgs_per_sec']:.0f}, "
+                f"host-preproc {e2e['e2e_hostprep_imgs_per_sec']:.0f}, "
                 f"streamed {e2e['e2e_streamed_imgs_per_sec']:.0f}, "
                 f"sequential {e2e['e2e_sequential_imgs_per_sec']:.0f}, "
                 f"decode-only {e2e['e2e_decode_only_imgs_per_sec']:.0f} imgs/s, "
@@ -253,6 +254,8 @@ def main() -> None:
         lines += [
             f"| E2E cold extraction (turbo: stream + fast-decode + host crop) | "
             f"{results['e2e_turbo_imgs_per_sec']:.0f} imgs/s | 359 imgs/s (ref GPU e2e) |",
+            f"| E2E cold extraction (host-preproc: exact PIL resize+crop on host) | "
+            f"{results['e2e_hostprep_imgs_per_sec']:.0f} imgs/s | — |",
             f"| E2E cold extraction (streamed, overlapped, exact numerics) | "
             f"{results['e2e_streamed_imgs_per_sec']:.0f} imgs/s | — |",
             f"| E2E cold extraction (sequential) | "

@@ -50,6 +50,12 @@ def parse_args(argv=None) -> argparse.Namespace:
         "(approximate resample numerics; implies --streaming always)",
     )
     parser.add_argument(
+        "--host-preproc", action="store_true",
+        help="streaming with EXACT host-side PIL resize+crop so only the "
+        "network crop crosses the host-device link (no numerics change; "
+        "implies --streaming always)",
+    )
+    parser.add_argument(
         "--shard-size", type=int, default=0,
         help="enable sharded resumable extraction with this many images per "
         "shard (0 = single-shot)",
@@ -69,8 +75,13 @@ def main(argv=None) -> None:
         compute_dtype=args.compute_dtype,
         arch=args.arch,
         cache_decoded=not args.no_cache,
-        streaming="always" if args.fast_decode else args.streaming,
+        streaming=(
+            "always"
+            if (args.fast_decode or args.host_preproc)
+            else args.streaming
+        ),
         fast_decode=args.fast_decode,
+        host_preproc=args.host_preproc,
     )
     if args.shard_size > 0:
         from ssip_tpu.pipelines.sharded_extraction import run_sharded_extraction

@@ -87,6 +87,12 @@ class ExtractionConfig:
     # resize/crop so only crop²×3 uint8 bytes cross the host→device link.
     # Off by default — it changes resample numerics vs the PIL-exact chain.
     fast_decode: bool = False
+    # Streaming EXACT host preprocessing: full-quality decode, then the
+    # reference's PIL bilinear Resize(resize) + center-crop on the host
+    # (both bitwise what the device chain computes), so only crop²×3 bytes
+    # cross the link with NO numerics change. The right shape when the
+    # host→device link, not the host CPU, bounds e2e throughput.
+    host_preproc: bool = False
 
 
 @dataclass
@@ -308,15 +314,18 @@ def _extract_streaming(
     paths = [r.absolute_path for r in records]
     turbo = bool(cfg.fast_decode)
     stream_kwargs: Dict[str, Any] = {}
-    if turbo:
-        # DCT-scaled decode + host resize/crop: only crop²×3 bytes per image
-        # cross the host→device link; the device chain degenerates to
-        # normalize-only (identity resample at resize == crop).
+    if turbo or cfg.host_preproc:
+        # Host-side resize+crop: only crop²×3 bytes per image cross the
+        # host→device link and the device chain degenerates to
+        # normalize-only (identity resample at resize == crop). Turbo adds
+        # DCT-scaled decode (approximate); host_preproc keeps the
+        # full-quality decode + PIL bilinear resize — bitwise the same
+        # chain the device computes, so numerics are unchanged.
         h = w = cfg.crop
         c = 3
-        stream_kwargs = dict(
-            fast_scale=cfg.resize, host_resize=cfg.resize, host_crop=cfg.crop
-        )
+        stream_kwargs = dict(host_resize=cfg.resize, host_crop=cfg.crop)
+        if turbo:
+            stream_kwargs["fast_scale"] = cfg.resize
         resize_for_device = cfg.crop
     else:
         h, w, c = _probe_image_shape(paths)

@@ -126,6 +126,44 @@ def test_bf16_fast_path_close_to_f32_parity_mode(tiny_image_tree, tmp_path):
     assert cos.min() > 0.995, cos.min()
 
 
+def test_host_preproc_streaming_matches_store_path(tmp_path):
+    """--host-preproc ships only the crop over the link with EXACT
+    numerics: host PIL resize+crop is bitwise the device chain, so
+    embeddings match the decode-once store path."""
+    from PIL import Image
+
+    from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
+
+    # full-size (512²) images so the resize is the reference's exact
+    # downscale chain, not an upsample
+    gen = np.random.default_rng(11)
+    root = tmp_path / "ds"
+    (root / "sans_label").mkdir(parents=True)
+    for i in range(6):
+        Image.fromarray(
+            gen.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+        ).save(root / "sans_label" / f"u_{i}.jpg")
+
+    cfg = dict(
+        data_dir=root, device="cpu", batch_size=4, cache_decoded=False,
+    )
+    stored = run_extraction(
+        ExtractionConfig(output_dir=tmp_path / "o1", streaming="never", **cfg)
+    )
+    hostprep = run_extraction(
+        ExtractionConfig(
+            output_dir=tmp_path / "o2", streaming="always",
+            host_preproc=True, **cfg,
+        )
+    )
+    np.testing.assert_allclose(
+        stored.embeddings, hostprep.embeddings, atol=1e-5, rtol=1e-5
+    )
+    assert [r.relative_path for r in stored.records] == [
+        r.relative_path for r in hostprep.records
+    ]
+
+
 def test_turbo_streaming_extraction_runs_and_is_deterministic(
     tiny_image_tree, tmp_path
 ):
