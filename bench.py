@@ -12,9 +12,10 @@ benchmarks/common.py). Prints ONE JSON line:
 
 vs_baseline is against the reference's committed end-to-end extraction rate
 (359 imgs/s on a CUDA GPU — BASELINE.md). Secondary numbers go to stderr:
-the trial spread, the f32 parity-mode rate, and the TRUE cold end-to-end
-extraction rate (disk → decode → H2D → embed, reference-comparable) in both
-sequential and overlapped-stream shapes.
+the trial spread and the TRUE cold end-to-end extraction rates
+(disk → decode → H2D → embed, reference-comparable) across the
+sequential / streamed / host-preproc / turbo execution shapes. The f32
+parity-mode rate lives in the full harness (benchmarks/run_benchmarks.py).
 """
 
 from __future__ import annotations
@@ -75,8 +76,11 @@ def main() -> None:
     on_tpu = devices[0].platform == "tpu"
     log(f"devices: {devices}")
 
-    BATCH = int(os.environ.get("SSIP_BENCH_BATCH", "256"))
-    N_BATCHES = int(os.environ.get("SSIP_BENCH_NBATCHES", "4"))
+    # batch 128 is the measured optimum on v5e for this model (full-window
+    # differenced sweep: 64->24.4k, 128->33.0k, 192->26.0k, 256->31.0k,
+    # 512->28.6k imgs/s) — smaller early-layer activations tile better.
+    BATCH = int(os.environ.get("SSIP_BENCH_BATCH", "128"))
+    N_BATCHES = int(os.environ.get("SSIP_BENCH_NBATCHES", "8"))
     # ~2 s differenced window at the expected rate: (HI-LO) passes of
     # N_BATCHES*BATCH images each, vs 25-150 ms tunnel jitter per call.
     LO = int(os.environ.get("SSIP_BENCH_LO", "2"))

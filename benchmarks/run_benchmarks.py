@@ -59,19 +59,30 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     rng = np.random.default_rng(0)
-    # identical parameters to bench.py on TPU so the numbers reconcile
-    B = 256 if on_tpu else 16
-    NB = 4 if on_tpu else 2
-    LO, HI = (2, 50) if on_tpu else (1, 5)
+    # identical parameters to bench.py on TPU so the numbers reconcile;
+    # --quick shrinks the windows (smoke mode, not a publishable run)
+    if args.quick:
+        B, NB = (128, 2) if on_tpu else (16, 2)
+        LO, HI = (2, 12) if on_tpu else (1, 3)
+    else:
+        B = 128 if on_tpu else 16  # measured v5e optimum (see bench.py)
+        NB = 8 if on_tpu else 2
+        LO, HI = (2, 50) if on_tpu else (1, 5)
     batches = jnp.asarray(
         rng.integers(0, 256, (NB, B, 512, 512, 3), dtype=np.uint8)
     )
     jax.block_until_ready(batches)
     results: dict[str, object] = {}
 
+    import math
+
     def record(key: str, res) -> None:
         results[key] = res.median
-        results[key + "_spread"] = round(res.spread, 4)
+        # inf spread (no valid trials) must not leak into benchmarks.json —
+        # json.dumps would emit non-strict `Infinity`
+        results[key + "_spread"] = (
+            round(res.spread, 4) if math.isfinite(res.spread) else None
+        )
         log(f"{key}: {res}")
 
     # 1. preprocessing
@@ -225,9 +236,10 @@ def main() -> None:
     (notes / "benchmarks.json").write_text(json.dumps(results, indent=2, default=str))
 
     def fmt(key: str) -> str:
-        v = results.get(key, 0.0)
+        v = float(results.get(key, 0.0))
         s = results.get(key + "_spread")
-        return f"{v:.0f}" + (f" (±{float(s) * 50:.0f}%)" if s is not None else "")
+        base = f"{v:.1f}" if v < 100 else f"{v:.0f}"
+        return base + (f" (±{float(s) * 50:.0f}%)" if s is not None else "")
 
     emb = float(results.get("embedding_bf16_imgs_per_sec", 0.0))
     lines = [

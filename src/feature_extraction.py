@@ -44,12 +44,13 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="overlapped decode→H2D→embed stream in O(batch) host memory; "
         "auto streams only when the decoded corpus exceeds host RAM budget",
     )
-    parser.add_argument(
+    speed = parser.add_mutually_exclusive_group()
+    speed.add_argument(
         "--fast-decode", action="store_true",
         help="streaming turbo mode: DCT-scaled JPEG decode + host crop "
         "(approximate resample numerics; implies --streaming always)",
     )
-    parser.add_argument(
+    speed.add_argument(
         "--host-preproc", action="store_true",
         help="streaming with EXACT host-side PIL resize+crop so only the "
         "network crop crosses the host-device link (no numerics change; "

@@ -269,14 +269,13 @@ def iter_streamed_decode_batches(
                         top = (arr.shape[0] - host_crop) // 2
                         left = (arr.shape[1] - host_crop) // 2
                         arr = arr[top : top + host_crop, left : left + host_crop]
-                    if arr.ndim == 2:
-                        arr = np.stack([arr] * 3, axis=-1)
                     if arr.shape != (h, w, c):
+                        # decode_image already stacks grayscale to 3ch;
+                        # this is the same odd-shape normalization
+                        # ImageStore.gather applies
                         arr = np.asarray(
                             Image.fromarray(arr).resize((w, h), Image.BILINEAR)
                         )
-                        if arr.ndim == 2:
-                            arr = np.stack([arr] * 3, axis=-1)
                     out[len(kept)] = arr
                     kept.append(lo + j)
                 if kept:

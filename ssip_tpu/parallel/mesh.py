@@ -97,7 +97,11 @@ def tp_param_spec(path, leaf, model_par: int) -> P:
         and leaf.shape[-1] >= 128
     ):
         return P(None, None, None, MODEL_AXIS)
-    if names[-2:] == ["fc", "kernel"] and getattr(leaf, "ndim", 0) == 2:
+    if (
+        names[-2:] == ["fc", "kernel"]
+        and getattr(leaf, "ndim", 0) == 2
+        and leaf.shape[0] % model_par == 0
+    ):
         return P(MODEL_AXIS, None)
     return P()
 

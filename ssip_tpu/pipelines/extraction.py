@@ -92,6 +92,11 @@ class ExtractionConfig:
     # (both bitwise what the device chain computes), so only crop²×3 bytes
     # cross the link with NO numerics change. The right shape when the
     # host→device link, not the host CPU, bounds e2e throughput.
+    # (Caveat: rows whose decoded shape differs from the corpus majority
+    # are resized ONCE, host-side, straight to the target — the store path
+    # resamples such odd rows twice, to the majority shape then on device —
+    # so only those rows can differ between modes, and by fewer resamples.)
+    # Mutually exclusive with fast_decode.
     host_preproc: bool = False
 
 
@@ -105,6 +110,34 @@ class ExtractionSummary:
     total_seconds: float
     per_image_seconds: List[float]
     weights_source: str
+
+
+def _check_weights_match_arch(variables: dict, arch: str, path: Path) -> None:
+    """Fail clearly when a ported checkpoint's topology is not ``arch``.
+
+    A resnet18 state_dict fed to a resnet50 template would otherwise fail
+    deep inside the jitted forward with an opaque flax missing-parameter
+    error (e.g. via the SSIP_RESNET18_WEIGHTS env default + --arch).
+    """
+    from ssip_tpu.models.resnet import MODEL_STAGES
+
+    stages = MODEL_STAGES[arch]
+    expected = {
+        f"layer{s + 1}_{b}" for s in range(len(stages)) for b in range(stages[s])
+    }
+    params = variables.get("params", {})
+    got = {k for k in params if k.startswith("layer")}
+    # resnet34 and resnet50 share stage sizes; bottleneck blocks are told
+    # apart by their third conv
+    has_conv3 = "conv3" in params.get("layer1_0", {})
+    if got != expected or has_conv3 != (arch == "resnet50"):
+        raise ValueError(
+            f"Checkpoint {path} does not match --arch {arch}: it has block "
+            f"modules {sorted(got)}{' (bottleneck)' if has_conv3 else ''} "
+            f"but {arch} expects {sorted(expected)}"
+            f"{' (bottleneck)' if arch == 'resnet50' else ''}. "
+            f"Point --weights/{DEFAULT_WEIGHTS_ENV} at a matching state_dict."
+        )
 
 
 def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
@@ -129,6 +162,7 @@ def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
         if path.exists():
             LOGGER.info("Porting torch weights from %s", path)
             variables = load_torch_checkpoint(str(path), include_fc=False)
+            _check_weights_match_arch(variables, cfg.arch, path)
             return variables, f"ported:{path}"
         if cfg.weights is not None and path == Path(cfg.weights):
             raise FileNotFoundError(f"Weights checkpoint not found: {path}")
@@ -313,6 +347,12 @@ def _extract_streaming(
     """
     paths = [r.absolute_path for r in records]
     turbo = bool(cfg.fast_decode)
+    if turbo and cfg.host_preproc:
+        raise ValueError(
+            "--fast-decode (approximate DCT-scaled decode) and "
+            "--host-preproc (exact numerics) are mutually exclusive — "
+            "pick one."
+        )
     stream_kwargs: Dict[str, Any] = {}
     if turbo or cfg.host_preproc:
         # Host-side resize+crop: only crop²×3 bytes per image cross the

@@ -51,10 +51,17 @@ def load_splits(history_path: Path) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v, dtype=np.int64) for k, v in payload["splits"].items()}
 
 
+def load_history(history_path: Path) -> Dict:
+    """Parsed training_history.json (read once; splits + recorded arch)."""
+    payload = json.loads(Path(history_path).read_text())
+    if "splits" not in payload:
+        raise KeyError(f"'splits' missing from {history_path}")
+    return payload
+
+
 def load_arch(history_path: Path) -> str:
     """Backbone recorded by the training run (pre-arch histories: resnet18)."""
-    payload = json.loads(Path(history_path).read_text())
-    return str(payload.get("arch", "resnet18"))
+    return str(load_history(history_path).get("arch", "resnet18"))
 
 
 def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
@@ -65,7 +72,11 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
         strong_data_dir=cfg.strong_data_dir, output_dir=cfg.output_dir
     ).artifacts
 
-    splits = load_splits(reg.training_history_json)
+    history_payload = load_history(reg.training_history_json)
+    splits = {
+        k: np.asarray(v, dtype=np.int64)
+        for k, v in history_payload["splits"].items()
+    }
     images, targets, classes, _paths = load_labeled_dataset(
         cfg.strong_data_dir, cfg.image_size, num_threads=cfg.num_workers
     )
@@ -79,7 +90,7 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
     ckpt_path = (
         reg.baseline_checkpoint if cfg.model == "baseline" else reg.semi_checkpoint
     )
-    arch = load_arch(reg.training_history_json)
+    arch = str(history_payload.get("arch", "resnet18"))
     model = MODEL_FACTORIES[arch](num_classes=len(classes))
     template = seeded_init_host(model, 0, (1, cfg.image_size, cfg.image_size, 3))
     variables = load_checkpoint(ckpt_path, template)
