@@ -9,8 +9,8 @@ shared-tunnel methodology in benchmarks/common.py and docs/performance.md):
      published numbers agree,
   3. SSL train step/sec (fused-epoch supervised step, batch 16 & 64),
   4. host decode rate (native / PIL),
-  5. TRUE cold end-to-end extraction (disk → decode → H2D → embed), both
-     sequential and overlapped-stream shapes,
+  5. TRUE cold end-to-end extraction (disk → decode → H2D → embed) across
+     the sequential / streamed / host-preproc / turbo execution shapes,
 
 and writes ``outputs/notes/benchmarks.md`` + ``outputs/notes/benchmarks.json``
 next to the reference numbers from BASELINE.md.
