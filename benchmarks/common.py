@@ -212,7 +212,7 @@ def e2e_bottleneck(results: Dict[str, float], image_bytes: int) -> str:
     if link < decode:
         return (
             f"host→device link ({link_mb:.0f} MB/s ≈ {link:.0f} imgs/s at "
-            f"{image_bytes / 1e3:.0f} KB/img; --fast-decode crops host-side "
-            f"to cut bytes/img)"
+            f"{image_bytes / 1e3:.0f} KB/img; --host-preproc (exact) or "
+            f"--fast-decode (turbo) crop host-side to cut bytes/img)"
         )
     return f"host JPEG decode ({decode:.0f} imgs/s)"

@@ -109,6 +109,32 @@ def test_threshold_sweep_rebuilds_recorded_arch(resnet34_run):
     assert (out / "tables" / "threshold_sweep_baseline.csv").exists()
 
 
+def test_ported_weights_arch_mismatch_fails_clearly():
+    from ssip_tpu.pipelines.extraction import _check_weights_match_arch
+
+    r18_like = {
+        "params": {
+            f"layer{s}_{b}": {"conv1": {}, "conv2": {}}
+            for s in (1, 2, 3, 4)
+            for b in (0, 1)
+        }
+    }
+    _check_weights_match_arch(r18_like, "resnet18", "w.pt")  # no raise
+    with pytest.raises(ValueError, match="does not match --arch resnet50"):
+        _check_weights_match_arch(r18_like, "resnet50", "w.pt")
+    # resnet34 and resnet50 share stage sizes; bottleneck conv3 disambiguates
+    r50_like = {
+        "params": {
+            f"layer{s + 1}_{b}": {"conv1": {}, "conv2": {}, "conv3": {}}
+            for s, n in enumerate((3, 4, 6, 3))
+            for b in range(n)
+        }
+    }
+    _check_weights_match_arch(r50_like, "resnet50", "w.pt")  # no raise
+    with pytest.raises(ValueError, match="does not match --arch resnet34"):
+        _check_weights_match_arch(r50_like, "resnet34", "w.pt")
+
+
 def test_sweep_defaults_resnet18_for_legacy_history(tmp_path):
     from ssip_tpu.pipelines.sweep import load_arch
 
