@@ -259,15 +259,31 @@ def iter_streamed_decode_batches(
                 for j, arr in enumerate(arrays):
                     if arr is None:
                         continue
-                    if host_resize and arr.shape[:2] != (host_resize, host_resize):
-                        arr = np.asarray(
-                            Image.fromarray(arr).resize(
-                                (host_resize, host_resize), Image.BILINEAR
+                    if host_resize:
+                        # torchvision Resize(n): SHORT side → n, aspect
+                        # preserved — must match ops/resize.py's
+                        # extraction_preprocess exactly or "exact host
+                        # preproc" silently diverges on non-square inputs
+                        h0, w0 = arr.shape[:2]
+                        if h0 <= w0:
+                            th, tw = host_resize, max(
+                                1, round(w0 * host_resize / h0)
                             )
-                        )
+                        else:
+                            th, tw = (
+                                max(1, round(h0 * host_resize / w0)),
+                                host_resize,
+                            )
+                        if (h0, w0) != (th, tw):
+                            arr = np.asarray(
+                                Image.fromarray(arr).resize(
+                                    (tw, th), Image.BILINEAR
+                                )
+                            )
                     if host_crop and arr.shape[:2] != (host_crop, host_crop):
-                        top = (arr.shape[0] - host_crop) // 2
-                        left = (arr.shape[1] - host_crop) // 2
+                        # torchvision CenterCrop offset: round((s-c)/2)
+                        top = int(round((arr.shape[0] - host_crop) / 2.0))
+                        left = int(round((arr.shape[1] - host_crop) / 2.0))
                         arr = arr[top : top + host_crop, left : left + host_crop]
                     if arr.shape != (h, w, c):
                         # decode_image already stacks grayscale to 3ch;

@@ -173,3 +173,37 @@ def _flax_path_to_torch(path: Sequence[str], collection: str) -> str:
                 is_bn = True
     torch_leaf = leaf_map_bn[leaf] if (is_bn or leaf in ("scale", "mean", "var")) else leaf_map[leaf]
     return ".".join(parts + [torch_leaf])
+
+
+def check_weights_match_arch(
+    variables: Mapping[str, Any],
+    arch: str,
+    path: Any,
+    env_hint: str = "SSIP_RESNET18_WEIGHTS",
+) -> None:
+    """Fail clearly when a ported checkpoint's topology is not ``arch``.
+
+    A resnet18 state_dict fed to a resnet50 template would otherwise fail
+    deep inside the jitted forward with an opaque flax missing-parameter
+    error (e.g. via the weights env default + --arch). Shared by every
+    porting call site (extraction and the training pipelines).
+    """
+    from ssip_tpu.models.resnet import MODEL_STAGES
+
+    stages = MODEL_STAGES[arch]
+    expected = {
+        f"layer{s + 1}_{b}" for s in range(len(stages)) for b in range(stages[s])
+    }
+    params = variables.get("params", {})
+    got = {k for k in params if k.startswith("layer")}
+    # resnet34 and resnet50 share stage sizes; bottleneck blocks are told
+    # apart by their third conv
+    has_conv3 = "conv3" in params.get("layer1_0", {})
+    if got != expected or has_conv3 != (arch == "resnet50"):
+        raise ValueError(
+            f"Checkpoint {path} does not match --arch {arch}: it has block "
+            f"modules {sorted(got)}{' (bottleneck)' if has_conv3 else ''} "
+            f"but {arch} expects {sorted(expected)}"
+            f"{' (bottleneck)' if arch == 'resnet50' else ''}. "
+            f"Point --weights/{env_hint} at a matching state_dict."
+        )

@@ -36,7 +36,10 @@ from ssip_tpu.data.pipeline import (
     iter_streamed_decode_batches,
 )
 from ssip_tpu.models import MODEL_FACTORIES
-from ssip_tpu.models.port_torch import load_torch_checkpoint
+from ssip_tpu.models.port_torch import (
+    check_weights_match_arch as _check_weights_match_arch,
+    load_torch_checkpoint,
+)
 from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
 from ssip_tpu.ops.resize import extraction_preprocess
 from ssip_tpu.parallel.mesh import batch_sharding, build_mesh, pad_to_multiple
@@ -112,34 +115,6 @@ class ExtractionSummary:
     weights_source: str
 
 
-def _check_weights_match_arch(variables: dict, arch: str, path: Path) -> None:
-    """Fail clearly when a ported checkpoint's topology is not ``arch``.
-
-    A resnet18 state_dict fed to a resnet50 template would otherwise fail
-    deep inside the jitted forward with an opaque flax missing-parameter
-    error (e.g. via the SSIP_RESNET18_WEIGHTS env default + --arch).
-    """
-    from ssip_tpu.models.resnet import MODEL_STAGES
-
-    stages = MODEL_STAGES[arch]
-    expected = {
-        f"layer{s + 1}_{b}" for s in range(len(stages)) for b in range(stages[s])
-    }
-    params = variables.get("params", {})
-    got = {k for k in params if k.startswith("layer")}
-    # resnet34 and resnet50 share stage sizes; bottleneck blocks are told
-    # apart by their third conv
-    has_conv3 = "conv3" in params.get("layer1_0", {})
-    if got != expected or has_conv3 != (arch == "resnet50"):
-        raise ValueError(
-            f"Checkpoint {path} does not match --arch {arch}: it has block "
-            f"modules {sorted(got)}{' (bottleneck)' if has_conv3 else ''} "
-            f"but {arch} expects {sorted(expected)}"
-            f"{' (bottleneck)' if arch == 'resnet50' else ''}. "
-            f"Point --weights/{DEFAULT_WEIGHTS_ENV} at a matching state_dict."
-        )
-
-
 def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
     """Load ported torchvision weights if available, else seeded init.
 
@@ -162,7 +137,9 @@ def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
         if path.exists():
             LOGGER.info("Porting torch weights from %s", path)
             variables = load_torch_checkpoint(str(path), include_fc=False)
-            _check_weights_match_arch(variables, cfg.arch, path)
+            _check_weights_match_arch(
+                variables, cfg.arch, path, env_hint=DEFAULT_WEIGHTS_ENV
+            )
             return variables, f"ported:{path}"
         if cfg.weights is not None and path == Path(cfg.weights):
             raise FileNotFoundError(f"Weights checkpoint not found: {path}")
@@ -303,7 +280,10 @@ def _probe_image_shape(paths: List[Path]) -> tuple[int, int, int]:
 
 
 def _should_stream(cfg: ExtractionConfig, paths: List[Path], digest: str) -> bool:
-    if cfg.streaming == "always":
+    if cfg.streaming == "always" or cfg.fast_decode or cfg.host_preproc:
+        # the host-preproc/turbo shapes only exist on the stream — honoring
+        # them from library callers must not depend on the CLI's
+        # "implies --streaming always" shim
         return True
     if cfg.streaming != "auto" or not paths:
         return False
@@ -347,12 +327,6 @@ def _extract_streaming(
     """
     paths = [r.absolute_path for r in records]
     turbo = bool(cfg.fast_decode)
-    if turbo and cfg.host_preproc:
-        raise ValueError(
-            "--fast-decode (approximate DCT-scaled decode) and "
-            "--host-preproc (exact numerics) are mutually exclusive — "
-            "pick one."
-        )
     stream_kwargs: Dict[str, Any] = {}
     if turbo or cfg.host_preproc:
         # Host-side resize+crop: only crop²×3 bytes per image cross the
@@ -447,6 +421,11 @@ def _extract_streaming(
 def extract_embeddings(
     records: List[ImageRecord], cfg: ExtractionConfig
 ) -> ExtractionSummary:
+    if cfg.fast_decode and cfg.host_preproc:
+        raise ValueError(
+            "fast_decode (approximate DCT-scaled decode) and host_preproc "
+            "(exact numerics) are mutually exclusive — pick one."
+        )
     devices = resolve_devices(cfg.device)
     mesh = build_mesh(devices=devices)
     sharding = batch_sharding(mesh)

@@ -55,6 +55,9 @@ def build_classifier_state(
         if wpath.exists():
             LOGGER.info("Porting pretrained backbone from %s", wpath)
             ported = load_torch_checkpoint(str(wpath), include_fc=False)
+            from ssip_tpu.models.port_torch import check_weights_match_arch
+
+            check_weights_match_arch(ported, config.arch, wpath)
             # keep the freshly-initialized fc head, swap in the backbone
             params = dict(ported["params"])
             params["fc"] = variables["params"]["fc"]

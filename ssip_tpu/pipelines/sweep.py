@@ -44,13 +44,6 @@ class SweepConfig:
     image_size: int = 224
 
 
-def load_splits(history_path: Path) -> Dict[str, np.ndarray]:
-    payload = json.loads(Path(history_path).read_text())
-    if "splits" not in payload:
-        raise KeyError(f"'splits' missing from {history_path}")
-    return {k: np.asarray(v, dtype=np.int64) for k, v in payload["splits"].items()}
-
-
 def load_history(history_path: Path) -> Dict:
     """Parsed training_history.json (read once; splits + recorded arch)."""
     payload = json.loads(Path(history_path).read_text())
@@ -59,9 +52,23 @@ def load_history(history_path: Path) -> Dict:
     return payload
 
 
-def load_arch(history_path: Path) -> str:
+def splits_of(payload: Dict) -> Dict[str, np.ndarray]:
+    return {
+        k: np.asarray(v, dtype=np.int64) for k, v in payload["splits"].items()
+    }
+
+
+def arch_of(payload: Dict) -> str:
     """Backbone recorded by the training run (pre-arch histories: resnet18)."""
-    return str(load_history(history_path).get("arch", "resnet18"))
+    return str(payload.get("arch", "resnet18"))
+
+
+def load_splits(history_path: Path) -> Dict[str, np.ndarray]:
+    return splits_of(load_history(history_path))
+
+
+def load_arch(history_path: Path) -> str:
+    return arch_of(load_history(history_path))
 
 
 def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
@@ -73,10 +80,7 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
     ).artifacts
 
     history_payload = load_history(reg.training_history_json)
-    splits = {
-        k: np.asarray(v, dtype=np.int64)
-        for k, v in history_payload["splits"].items()
-    }
+    splits = splits_of(history_payload)
     images, targets, classes, _paths = load_labeled_dataset(
         cfg.strong_data_dir, cfg.image_size, num_threads=cfg.num_workers
     )
@@ -90,7 +94,7 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
     ckpt_path = (
         reg.baseline_checkpoint if cfg.model == "baseline" else reg.semi_checkpoint
     )
-    arch = str(history_payload.get("arch", "resnet18"))
+    arch = arch_of(history_payload)
     model = MODEL_FACTORIES[arch](num_classes=len(classes))
     template = seeded_init_host(model, 0, (1, cfg.image_size, cfg.image_size, 3))
     variables = load_checkpoint(ckpt_path, template)

@@ -134,14 +134,21 @@ def test_host_preproc_streaming_matches_store_path(tmp_path):
 
     from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
 
-    # full-size (512²) images so the resize is the reference's exact
-    # downscale chain, not an upsample
+    # full-size images so the resize is the reference's exact downscale
+    # chain, not an upsample. The whole corpus shares one NON-SQUARE shape:
+    # "exact" requires the host resize to reproduce torchvision's
+    # aspect-preserving short-side semantics (a plain square resize
+    # diverges by ~0.5 abs). Mixed-shape corpora are excluded on purpose —
+    # there the store path first squashes minority-shaped rows to the
+    # majority shape (its batching normalization) while host-preproc
+    # applies the reference's per-image chain directly, so they
+    # legitimately differ on those rows.
     gen = np.random.default_rng(11)
     root = tmp_path / "ds"
     (root / "sans_label").mkdir(parents=True)
     for i in range(6):
         Image.fromarray(
-            gen.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+            gen.integers(0, 255, (384, 512, 3), dtype=np.uint8)
         ).save(root / "sans_label" / f"u_{i}.jpg")
 
     cfg = dict(
