@@ -31,7 +31,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from benchmarks.common import log, measure_e2e_extraction, measure_rate
 
 REFERENCE_IMGS_PER_SEC = 359.0  # BASELINE.md: 1506 imgs / 4.20 s end-to-end
-DATA_DIR = Path("/root/reference/mri_dataset_brain_cancer_oc")
+# SSIP_BENCH_DATA override: point at another corpus, or at a nonexistent
+# path to force synthetic batches (the stdout-contract test does this).
+DATA_DIR = Path(
+    os.environ.get(
+        "SSIP_BENCH_DATA", "/root/reference/mri_dataset_brain_cancer_oc"
+    )
+)
 
 
 def load_real_batches(n_batches: int, batch: int):
@@ -120,23 +126,22 @@ def main() -> None:
     log(f"on-chip embedding bf16 (batch {BATCH}): {result} imgs/s")
     value = result.median
 
+    headline = json.dumps(
+        {
+            "metric": "imgs/sec/chip",
+            "value": round(value, 1),
+            "unit": "imgs/sec",
+            "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 3),
+        }
+    )
     # The headline JSON line goes out FIRST so a driver-side timeout during
     # the (slow, tunnel-weather-dependent) e2e diagnostics below can never
-    # cost the round its metric.
-    print(
-        json.dumps(
-            {
-                "metric": "imgs/sec/chip",
-                "value": round(value, 1),
-                "unit": "imgs/sec",
-                "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC, 3),
-            }
-        ),
-        flush=True,
-    )
+    # cost the round its metric...
+    print(headline, flush=True)
 
     # True cold end-to-end extraction rate (reference-comparable 359 imgs/s):
-    # disk → decode → H2D → embed through the real pipeline, both shapes.
+    # disk → decode → H2D → embed through the real pipeline, all four shapes,
+    # median-of-3 per shape with the per-window link bandwidth and spread.
     if os.environ.get("SSIP_BENCH_SKIP_E2E", "") != "1":
         try:
             from benchmarks.common import e2e_bottleneck
@@ -145,21 +150,36 @@ def main() -> None:
                 DATA_DIR, Path("outputs/bench"), batch_size=128
             )
             if e2e:
+                def shape(key: str) -> str:
+                    spread = e2e.get(f"e2e_{key}_imgs_per_sec_spread")
+                    spread_s = (
+                        f" ±{float(spread) * 50:.0f}%" if spread is not None else ""
+                    )
+                    return (
+                        f"{e2e[f'e2e_{key}_imgs_per_sec']:.0f}{spread_s} imgs/s "
+                        f"@ link {e2e.get(f'e2e_{key}_link_mb_per_sec', 0):.0f} MB/s"
+                    )
+
                 log(
-                    "e2e cold extraction: "
-                    f"turbo {e2e['e2e_turbo_imgs_per_sec']:.0f} imgs/s, "
-                    f"host-preproc (exact) "
-                    f"{e2e['e2e_hostprep_imgs_per_sec']:.0f} imgs/s, "
-                    f"streamed {e2e['e2e_streamed_imgs_per_sec']:.0f} imgs/s, "
-                    f"sequential {e2e['e2e_sequential_imgs_per_sec']:.0f} imgs/s "
+                    "e2e cold extraction (median of 3 per shape; ± = half-"
+                    "spread; link = H2D bandwidth in that shape's window): "
+                    f"turbo {shape('turbo')}; "
+                    f"host-preproc (exact) {shape('hostprep')}; "
+                    f"streamed {shape('streamed')}; "
+                    f"sequential {shape('sequential')} "
                     f"(overlap ×{e2e['e2e_overlap_speedup']:.2f}); "
-                    f"decode-only {e2e['e2e_decode_only_imgs_per_sec']:.0f} imgs/s, "
-                    f"h2d link {e2e['h2d_link_mb_per_sec']:.0f} MB/s — "
-                    f"e2e bottleneck: {e2e_bottleneck(e2e, 512 * 512 * 3)}; "
+                    f"decode-only {e2e['e2e_decode_only_imgs_per_sec']:.0f} imgs/s — "
+                    f"e2e bottleneck: {e2e_bottleneck(e2e)}; "
                     f"the on-chip rate above is the accelerator bound"
                 )
         except Exception as exc:  # diagnostics only; headline already printed
             log(f"e2e extraction bench failed: {exc}")
+
+    # ...and AGAIN as the very LAST stdout line: the driver parses the final
+    # line of stdout (BENCH_r02 recorded parsed=null when diagnostics printed
+    # after the headline). Both prints are the identical JSON object, so
+    # either parse discipline — first line or last line — lands the metric.
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":

@@ -121,14 +121,22 @@ def measure_e2e_extraction(
     output_dir: Path,
     batch_size: int = 128,
     compute_dtype: str = "bfloat16",
+    repeats: int = 3,
 ) -> Optional[Dict[str, float]]:
     """Cold disk→decode→H2D→embed rates via the real extraction pipeline.
 
     Returns imgs/s for the sequential shape (decode-once store, then embed),
-    the overlapped streamed shape, plus the decode-only rate — or None when
-    the corpus is absent. Each shape runs once to warm compiles (persistent
-    cache makes reruns cheap), then once timed.
+    the overlapped streamed/host-preproc/turbo shapes, plus the decode-only
+    rate — or None when the corpus is absent. Every shape warms once
+    (compile + page cache), then reports the MEDIAN of ``repeats`` cold
+    passes together with its spread (``e2e_{tag}_spread`` = (max−min)/median)
+    and the host→device link bandwidth measured immediately before that
+    shape's window (``e2e_{tag}_link_mb_per_sec``) — the shared tunnel's
+    bandwidth wanders 2–4× across minutes, so a rate is only interpretable
+    next to the link weather of its own window.
     """
+    import numpy as np
+
     from ssip_tpu.data.decode import decode_batch
     from ssip_tpu.data.discovery import discover_image_records
     from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
@@ -142,31 +150,38 @@ def measure_e2e_extraction(
     paths = [r.absolute_path for r in records]
 
     results: Dict[str, float] = {"e2e_num_images": float(n)}
-    results["h2d_link_mb_per_sec"] = measure_h2d_link()
 
     # Decode-only rate FIRST (the host-side bound), in bounded chunks and
     # before any device work so neither allocator pressure from the
     # extraction runs nor jax runtime threads skew it. The first chunk also
-    # warms the OS page cache for the extraction runs below.
+    # warms the OS page cache for the extraction runs below, and the first
+    # decoded image yields the corpus bytes/img for bottleneck conversion.
     n_ok, t_decode = 0, 0.0
+    image_bytes = 0
     for lo in range(0, n, 256):
         chunk = paths[lo : lo + 256]
         t0 = time.perf_counter()
         arrays, failures = decode_batch(chunk, num_threads=8)
         t_decode += time.perf_counter() - t0
         n_ok += len(chunk) - len(failures)
+        if not image_bytes:
+            for arr in arrays:
+                if arr is not None:
+                    image_bytes = int(arr.nbytes)
+                    break
         del arrays
     results["e2e_decode_only_imgs_per_sec"] = n_ok / max(t_decode, 1e-9)
+    results["e2e_image_bytes"] = float(image_bytes)
+
+    links: list[float] = []
 
     def run(
         streaming: str,
         tag: str,
+        key: str,
         fast_decode: bool = False,
         host_preproc: bool = False,
-        repeats: int = 1,
     ) -> float:
-        import numpy as np
-
         cfg = ExtractionConfig(
             data_dir=data_dir,
             output_dir=output_dir / f"e2e_{tag}",
@@ -178,25 +193,33 @@ def measure_e2e_extraction(
             host_preproc=host_preproc,
         )
         run_extraction(cfg)  # warm-up: compile + page cache + session init
+        # Link weather sampled in THIS shape's window, right before the
+        # timed passes, so each published rate carries its own context.
+        link = measure_h2d_link()
+        links.append(link)
+        results[f"e2e_{key}_link_mb_per_sec"] = link
         # total_seconds covers disk → decode → stage/H2D → embed in every
         # execution shape (extraction.py starts the clock before the store
         # build) — the same span the reference's 359 imgs/s measures.
-        # Median over repeats: the shared tunnel's bandwidth wanders 2-3×
-        # across minutes, and one cold pass can't be differenced.
         rates = []
         for _ in range(repeats):
             summary = run_extraction(cfg)
             rates.append(len(summary.embeddings) / max(summary.total_seconds, 1e-9))
-        return float(np.median(rates))
+        med = float(np.median(rates))
+        results[f"e2e_{key}_imgs_per_sec"] = med
+        # "_imgs_per_sec_spread" suffix matches the harness's `fmt` helper
+        # (run_benchmarks.py) so the e2e rows pick up ± annotations for free
+        results[f"e2e_{key}_imgs_per_sec_spread"] = round(
+            (max(rates) - min(rates)) / med, 4
+        ) if med > 0 else None
+        return med
 
-    results["e2e_sequential_imgs_per_sec"] = run("never", "seq")
-    results["e2e_streamed_imgs_per_sec"] = run("always", "stream", repeats=3)
-    results["e2e_hostprep_imgs_per_sec"] = run(
-        "always", "hostprep", host_preproc=True, repeats=3
-    )
-    results["e2e_turbo_imgs_per_sec"] = run(
-        "always", "turbo", fast_decode=True, repeats=3
-    )
+    run("never", "seq", "sequential")
+    run("always", "stream", "streamed")
+    run("always", "hostprep", "hostprep", host_preproc=True)
+    run("always", "turbo", "turbo", fast_decode=True)
+    # median link across the four windows, for consumers wanting one number
+    results["h2d_link_mb_per_sec"] = float(np.median(links))
     results["e2e_overlap_speedup"] = (
         results["e2e_streamed_imgs_per_sec"]
         / max(results["e2e_sequential_imgs_per_sec"], 1e-9)
@@ -204,8 +227,15 @@ def measure_e2e_extraction(
     return results
 
 
-def e2e_bottleneck(results: Dict[str, float], image_bytes: int) -> str:
-    """Name the measured e2e bottleneck stage from the stage rates."""
+def e2e_bottleneck(results: Dict[str, float], image_bytes: int = 0) -> str:
+    """Name the measured e2e bottleneck stage from the stage rates.
+
+    ``image_bytes`` defaults to the corpus's probed bytes/img recorded by
+    ``measure_e2e_extraction`` (not every corpus is 512²×3 — ADVICE r2).
+    """
+    image_bytes = int(image_bytes or results.get("e2e_image_bytes", 0)) or (
+        512 * 512 * 3
+    )
     decode = results.get("e2e_decode_only_imgs_per_sec", float("inf"))
     link_mb = results.get("h2d_link_mb_per_sec", float("inf"))
     link = link_mb * 1e6 / image_bytes

@@ -164,41 +164,50 @@ def main() -> None:
             max(LO + 1, HI // 2),
         )
 
-    # 3. train step/sec (fused epochs)
+    # 3. train step/sec (fused epochs): f32 reference-parity mode and the
+    #    bf16 throughput mode (--compute-dtype bfloat16; params/BN/loss f32)
     from ssip_tpu.train.engine import TrainState, make_fused_epoch, make_optimizer
 
-    model = ResNet18(num_classes=2)
-    variables = jax.device_put(seeded_init_host(model, 0, (1, 224, 224, 3)))
-    for tb in ((16, 64) if not args.quick else (16,)):
-        state = TrainState.create(
-            apply_fn=model.apply, params=variables["params"],
-            batch_stats=variables["batch_stats"], tx=make_optimizer(1e-4, 1e-4),
-        )
-        steps = 8
-        imgs = jnp.asarray(
-            rng.integers(0, 256, (steps, tb, 224, 224, 3), dtype=np.uint8)
-        )
-        labels = jnp.asarray(rng.integers(0, 2, (steps, tb)).astype(np.int32))
-        valid = jnp.ones((steps, tb), bool)
-        keys = jax.random.split(jax.random.key(0), steps)
-        fused = make_fused_epoch(augment=True)
+    host_cls_vars = seeded_init_host(ResNet18(num_classes=2), 0, (1, 224, 224, 3))
+    fused = make_fused_epoch(augment=True)
+    dtype_variants = (
+        (("f32", jnp.float32), ("bf16", jnp.bfloat16))
+        if not args.quick
+        else (("f32", jnp.float32),)
+    )
+    for dname, dtype in dtype_variants:
+        model = ResNet18(num_classes=2, compute_dtype=dtype)
+        variables = jax.device_put(host_cls_vars)
+        for tb in ((16, 64) if not args.quick else (16,)):
+            state = TrainState.create(
+                apply_fn=model.apply, params=variables["params"],
+                batch_stats=variables["batch_stats"], tx=make_optimizer(1e-4, 1e-4),
+            )
+            steps = 8
+            imgs = jnp.asarray(
+                rng.integers(0, 256, (steps, tb, 224, 224, 3), dtype=np.uint8)
+            )
+            labels = jnp.asarray(rng.integers(0, 2, (steps, tb)).astype(np.int32))
+            valid = jnp.ones((steps, tb), bool)
+            keys = jax.random.split(jax.random.key(0), steps)
 
-        def train_loop(reps, _state=state):
-            s = _state
-            out = jnp.float32(0.0)
-            for _ in range(int(reps)):
-                s, losses, _ = fused(s, imgs, labels, valid, keys)
-                out = losses[-1]
-            jax.block_until_ready(out)
-            return out
+            def train_loop(reps, _state=state, _imgs=imgs, _labels=labels,
+                           _valid=valid, _keys=keys):
+                s = _state
+                out = jnp.float32(0.0)
+                for _ in range(int(reps)):
+                    s, losses, _ = fused(s, _imgs, _labels, _valid, _keys)
+                    out = losses[-1]
+                jax.block_until_ready(out)
+                return out
 
-        record(
-            f"train_steps_per_sec_batch{tb}",
-            measure_rate(
-                train_loop, 1, 8 if on_tpu else 3, items_per_rep=steps,
-                max_trials=8,
-            ),
-        )
+            record(
+                f"train_steps_per_sec_{dname}_batch{tb}",
+                measure_rate(
+                    train_loop, 1, 8 if on_tpu else 3, items_per_rep=steps,
+                    max_trials=8,
+                ),
+            )
 
     # 4. host decode
     data_dir = CORPUS / "sans_label"
@@ -263,24 +272,41 @@ def main() -> None:
             f"{fmt('embedding_f32_imgs_per_sec')} imgs/s/chip | — |"
         )
     if "e2e_streamed_imgs_per_sec" in results:
+        def e2e_row(label: str, key: str, target: str = "—") -> str:
+            link = results.get(f"e2e_{key}_link_mb_per_sec")
+            link_s = f" @ link {float(link):.0f} MB/s" if link is not None else ""
+            return (
+                f"| E2E cold extraction ({label}) | "
+                f"{fmt(f'e2e_{key}_imgs_per_sec')} imgs/s{link_s} | {target} |"
+            )
+
         lines += [
-            f"| E2E cold extraction (turbo: stream + fast-decode + host crop) | "
-            f"{results['e2e_turbo_imgs_per_sec']:.0f} imgs/s | 359 imgs/s (ref GPU e2e) |",
-            f"| E2E cold extraction (host-preproc: exact PIL resize+crop on host) | "
-            f"{results['e2e_hostprep_imgs_per_sec']:.0f} imgs/s | — |",
-            f"| E2E cold extraction (streamed, overlapped, exact numerics) | "
-            f"{results['e2e_streamed_imgs_per_sec']:.0f} imgs/s | — |",
-            f"| E2E cold extraction (sequential) | "
-            f"{results['e2e_sequential_imgs_per_sec']:.0f} imgs/s | — |",
+            e2e_row(
+                "turbo: stream + fast-decode + host crop", "turbo",
+                "359 imgs/s (ref GPU e2e)",
+            ),
+            e2e_row("host-preproc: exact resize+crop on host", "hostprep"),
+            e2e_row("streamed, overlapped, exact numerics", "streamed"),
+            e2e_row("sequential", "sequential"),
             f"| Host decode (corpus, 1-core box) | "
             f"{results['e2e_decode_only_imgs_per_sec']:.0f} imgs/s | — |",
-            f"| Host→device link (measured, completion-forced) | "
+            f"| Host→device link (median over the 4 shape windows) | "
             f"{results['h2d_link_mb_per_sec']:.0f} MB/s | — |",
         ]
-    for tb in (16, 64):
-        key = f"train_steps_per_sec_batch{tb}"
-        if key in results:
-            lines.append(f"| Train step/sec (batch {tb}) | {fmt(key)} | — |")
+    for dname, label in (("f32", "f32 parity"), ("bf16", "bf16 throughput")):
+        for tb in (16, 64):
+            key = f"train_steps_per_sec_{dname}_batch{tb}"
+            if key in results:
+                imgs_s = float(results[key]) * tb
+                # fwd ≈1.82 GFLOP/img (docs/performance.md) + backward ≈2×
+                # forward ⇒ ~5.46 GFLOP/img; v5e bf16 peak 197 TFLOP/s
+                mfu = imgs_s * 5.46e9 / 197e12 * 100.0
+                lines.append(
+                    f"| Train step/sec ({label}, batch {tb}) | {fmt(key)} "
+                    f"steps/s = {imgs_s:.0f} imgs/s"
+                    + (f" ≈ {mfu:.0f}% MFU" if on_tpu else "")
+                    + " | ref GPU: baseline 2.49 s total |"
+                )
     for label in ("native", "pil"):
         key = f"decode_{label}_imgs_per_sec"
         if key in results:
@@ -297,7 +323,7 @@ def main() -> None:
         lines.append(
             f"True cold e2e (disk→decode→H2D→embed, turbo shape): "
             f"**{e2e_rate / 359.0:.1f}×** the reference's 359 imgs/s. Measured "
-            f"bottleneck: {e2e_bottleneck(results, 512 * 512 * 3)}. Overlap gains "
+            f"bottleneck: {e2e_bottleneck(results)}. Overlap gains "
             f"×{results.get('e2e_overlap_speedup', 1.0):.2f} over the sequential "
             f"shape; warm-cache runs bypass decode entirely (memmap store)."
         )
