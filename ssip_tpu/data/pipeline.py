@@ -261,17 +261,19 @@ def iter_streamed_decode_batches(
                         continue
                     if host_resize:
                         # torchvision Resize(n): SHORT side → n, aspect
-                        # preserved — must match ops/resize.py's
-                        # extraction_preprocess exactly or "exact host
-                        # preproc" silently diverges on non-square inputs
+                        # preserved, long side int-TRUNCATED (torchvision
+                        # _compute_resized_output_size) — must match
+                        # ops/resize.py's extraction_preprocess exactly or
+                        # "exact host preproc" silently diverges on
+                        # non-square inputs
                         h0, w0 = arr.shape[:2]
                         if h0 <= w0:
                             th, tw = host_resize, max(
-                                1, round(w0 * host_resize / h0)
+                                1, int(w0 * host_resize / h0)
                             )
                         else:
                             th, tw = (
-                                max(1, round(h0 * host_resize / w0)),
+                                max(1, int(h0 * host_resize / w0)),
                                 host_resize,
                             )
                         if (h0, w0) != (th, tw):

@@ -110,11 +110,15 @@ def extraction_preprocess(
     data/decode.py for the channel policy).
     """
     h, w = images_u8.shape[-3], images_u8.shape[-2]
-    # torchvision Resize(n) scales the SHORT side to n, preserving aspect.
+    # torchvision Resize(n) scales the SHORT side to n, preserving aspect;
+    # the long side TRUNCATES: int(n * long / short) — torchvision
+    # _compute_resized_output_size semantics (427×640 @ 256 → 256×383, not
+    # 384). round() here would shift the whole output grid 1px on
+    # fractional-aspect inputs.
     if h <= w:
-        out_h, out_w = resize, max(1, round(w * resize / h))
+        out_h, out_w = resize, max(1, int(w * resize / h))
     else:
-        out_h, out_w = max(1, round(h * resize / w)), resize
+        out_h, out_w = max(1, int(h * resize / w)), resize
     x = resize_bilinear(
         images_u8,
         out_h,

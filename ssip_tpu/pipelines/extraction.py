@@ -134,14 +134,29 @@ def _resolve_weights(cfg: ExtractionConfig) -> tuple[dict, str]:
     )
 
     for path in candidates:
+        explicit = cfg.weights is not None and path == Path(cfg.weights)
         if path.exists():
             LOGGER.info("Porting torch weights from %s", path)
             variables = load_torch_checkpoint(str(path), include_fc=False)
-            _check_weights_match_arch(
-                variables, cfg.arch, path, env_hint=DEFAULT_WEIGHTS_ENV
-            )
+            try:
+                _check_weights_match_arch(
+                    variables, cfg.arch, path, env_hint=DEFAULT_WEIGHTS_ENV
+                )
+            except ValueError as exc:
+                # Arch mismatch is fatal only for an explicit --weights
+                # path. The env/convention candidates are r18-centric
+                # defaults (the documented workflow exports them once) —
+                # with --arch resnet34/50 they simply don't apply: warn and
+                # fall through to the next candidate / seeded init.
+                if explicit:
+                    raise
+                LOGGER.warning(
+                    "Skipping candidate checkpoint %s (wrong architecture "
+                    "for --arch %s): %s", path, cfg.arch, exc,
+                )
+                continue
             return variables, f"ported:{path}"
-        if cfg.weights is not None and path == Path(cfg.weights):
+        if explicit:
             raise FileNotFoundError(f"Weights checkpoint not found: {path}")
 
     LOGGER.warning(
@@ -279,6 +294,31 @@ def _probe_image_shape(paths: List[Path]) -> tuple[int, int, int]:
     raise RuntimeError("All images failed to decode")
 
 
+def _probe_majority_shape(
+    paths: List[Path], sample_size: int = 64, num_threads: int = 8
+) -> tuple[int, int, int]:
+    """Majority decoded shape over the corpus's leading sample.
+
+    The streamed execution shape canonicalizes every row to this — it must
+    agree with ``ImageStore.from_paths``' majority-shape packing, or a
+    mixed-shape corpus whose FIRST image is a minority shape would make
+    ``streaming='auto'`` results depend on cache presence (ADVICE r2). A
+    bounded sample keeps the probe O(1) for huge corpora; corpora whose
+    global majority differs from their leading-sample majority remain
+    ambiguous by construction — both paths then resample the same rows.
+    """
+    from collections import Counter
+
+    from ssip_tpu.data.decode import decode_batch
+
+    arrays, _ = decode_batch(paths[:sample_size], num_threads=num_threads)
+    shapes = [tuple(a.shape) for a in arrays if a is not None]
+    if not shapes:
+        # fall back to scanning past an all-failed leading sample
+        return _probe_image_shape(paths[sample_size:])
+    return Counter(shapes).most_common(1)[0][0]  # type: ignore[return-value]
+
+
 def _should_stream(cfg: ExtractionConfig, paths: List[Path], digest: str) -> bool:
     if cfg.streaming == "always" or cfg.fast_decode or cfg.host_preproc:
         # the host-preproc/turbo shapes only exist on the stream — honoring
@@ -342,7 +382,11 @@ def _extract_streaming(
             stream_kwargs["fast_scale"] = cfg.resize
         resize_for_device = cfg.crop
     else:
-        h, w, c = _probe_image_shape(paths)
+        h, w, c = _probe_majority_shape(
+            paths,
+            sample_size=max(cfg.batch_size, 64),
+            num_threads=cfg.num_decode_threads,
+        )
         resize_for_device = cfg.resize
     use_pallas = devices[0].platform == "tpu" and h == w and c == 3
     global_batch = pad_to_multiple(cfg.batch_size, mesh.shape["data"])

@@ -84,6 +84,70 @@ def test_streaming_extraction_matches_store_path(tiny_image_tree, tmp_path):
     ]
 
 
+def test_streaming_canonicalizes_to_majority_shape(tmp_path):
+    """Mixed-shape corpus whose FIRST image is a minority shape: the
+    streamed shape must canonicalize to the corpus MAJORITY shape (like
+    ImageStore.from_paths), not the first image's — otherwise streamed
+    embeddings diverge from the store path and streaming='auto' results
+    depend on cache presence (ADVICE r2)."""
+    from PIL import Image
+
+    from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
+
+    gen = np.random.default_rng(3)
+    root = tmp_path / "ds"
+    (root / "sans_label").mkdir(parents=True)
+    # 'a_odd' sorts first → the first decodable image is the minority shape
+    Image.fromarray(
+        gen.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    ).save(root / "sans_label" / "a_odd.jpg")
+    for i in range(5):
+        Image.fromarray(
+            gen.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+        ).save(root / "sans_label" / f"b_{i}.jpg")
+
+    cfg = dict(data_dir=root, device="cpu", batch_size=4, cache_decoded=False)
+    stored = run_extraction(
+        ExtractionConfig(output_dir=tmp_path / "o1", streaming="never", **cfg)
+    )
+    streamed = run_extraction(
+        ExtractionConfig(output_dir=tmp_path / "o2", streaming="always", **cfg)
+    )
+    np.testing.assert_allclose(
+        stored.embeddings, streamed.embeddings, atol=1e-5, rtol=1e-5
+    )
+    assert [r.relative_path for r in stored.records] == [
+        r.relative_path for r in streamed.records
+    ]
+
+
+def test_env_weights_arch_mismatch_skipped_not_fatal(tmp_path, monkeypatch):
+    """SSIP_RESNET18_WEIGHTS pointing at an r18 checkpoint must not brick
+    --arch resnet34 extraction: non-explicit candidates with the wrong
+    topology are skipped with a warning (ADVICE r2). An explicit --weights
+    mismatch still fails loudly."""
+    import pytest
+
+    from ssip_tpu.pipelines.extraction import ExtractionConfig, _resolve_weights
+    from tests.test_weights_cli import _write_checkpoint
+
+    ckpt = tmp_path / "resnet18_imagenet1k.pt"
+    _write_checkpoint(ckpt)
+    monkeypatch.setenv("SSIP_RESNET18_WEIGHTS", str(ckpt))
+
+    cfg = ExtractionConfig(arch="resnet34", output_dir=tmp_path / "o")
+    variables, source = _resolve_weights(cfg)
+    assert source.startswith("random_init"), source
+    assert "layer2_2" in variables["params"]  # resnet34 topology
+
+    with pytest.raises(ValueError, match="does not match --arch resnet34"):
+        _resolve_weights(
+            ExtractionConfig(
+                arch="resnet34", weights=ckpt, output_dir=tmp_path / "o2"
+            )
+        )
+
+
 def test_streaming_extraction_tolerates_corrupt_file(tiny_image_tree, tmp_path):
     from ssip_tpu.pipelines.extraction import ExtractionConfig, run_extraction
 

@@ -75,6 +75,27 @@ class TestExtractionChain:
         out = np.asarray(extraction_preprocess(jnp.asarray(img[None])))
         assert out.shape == (1, 224, 224, 3)
 
+    def test_fractional_aspect_long_side_truncates(self, rng):
+        """torchvision Resize(256) on 427×640 → 256×383 (int-truncated long
+        side, NOT round()'s 384) — a round() grid shifts every output pixel
+        (ADVICE r2). Oracle: PIL resize at the torchvision-computed size."""
+        img = rng.integers(0, 256, (427, 640, 3), np.uint8)
+        th, tw = 256, int(256 * 640 / 427)  # 383
+        assert tw == 383 and round(256 * 640 / 427) == 384  # fractional case
+        resized = _pil_resize(img, tw, th)
+        rs, cs = center_crop_bounds(th, 224), center_crop_bounds(tw, 224)
+        ref = resized[rs, cs].astype(np.float32) / 255.0
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        ref = (ref - mean) / std
+
+        got = np.asarray(extraction_preprocess(jnp.asarray(img[None])))[0]
+        # non-integer scale → PIL's fixed-point coefficients differ from
+        # f32 weights by ≤1 LSB pre-normalize (≈0.0175 post) on few pixels;
+        # a 1-px grid shift would blow far past this
+        assert np.abs(got - ref).max() <= 1.01 / 255.0 / std.min()
+        assert (np.abs(got - ref) > 1e-6).mean() < 0.05
+
 
 class TestPallasKernel:
     def test_interpret_mode_matches_xla(self, rng):
