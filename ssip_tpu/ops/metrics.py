@@ -120,6 +120,15 @@ def roc_curve(y_true_bin: np.ndarray, y_prob: np.ndarray):
     return fps / n, tps / p, thr
 
 
+def average_precision(y_true_bin: np.ndarray, y_prob: np.ndarray) -> float:
+    """AP = Σ (Rₙ − Rₙ₋₁)·Pₙ over the PR curve — sklearn
+    ``average_precision_score`` semantics (the reference annotates its PR
+    legend with it, reference common.py:579-593)."""
+    precision, recall, _ = pr_curve(y_true_bin, y_prob)
+    # sklearn orientation: recall decreasing with the appended (1, 0) end.
+    return float(-np.sum(np.diff(recall) * precision[:-1]))
+
+
 def pr_curve(y_true_bin: np.ndarray, y_prob: np.ndarray):
     """(precision, recall, thresholds) in sklearn orientation."""
     y_true_bin = np.asarray(y_true_bin).astype(np.int32)

@@ -105,10 +105,15 @@ def plot_roc_curves(
 def plot_pr_curves(
     curves: Dict[str, Tuple[np.ndarray, np.ndarray]], output_path: Path
 ) -> None:
+    from ssip_tpu.ops.metrics import average_precision
+
     fig, ax = plt.subplots(figsize=(5.5, 5))
     for name, (y_true_bin, y_prob) in curves.items():
         precision, recall, _ = pr_curve(y_true_bin, y_prob)
-        ax.plot(recall, precision, label=name)
+        # AP in the legend, like the reference's PR figure
+        # (reference common.py:579-593)
+        ap = average_precision(y_true_bin, y_prob)
+        ax.plot(recall, precision, label=f"{name} (AP={ap:.3f})")
     ax.set_xlabel("Recall")
     ax.set_ylabel("Precision")
     ax.set_title("Precision-Recall curves")
@@ -123,17 +128,39 @@ def plot_metrics_bars(
     output_path: Path,
     keys: Sequence[str],
 ) -> None:
-    labels = list(metrics_map.keys())
-    x = np.arange(len(labels))
-    width = 0.12
-    fig, ax = plt.subplots(figsize=(max(7, len(labels) * 1.6), 4))
-    for idx, key in enumerate(keys):
-        values = [metrics_map[lbl].get(key, 0.0) or 0.0 for lbl in labels]
-        ax.bar(x + idx * width, values, width=width, label=key)
-    ax.set_xticks(x + (len(keys) - 1) * width / 2, labels, rotation=15)
-    ax.set_ylabel("Score")
-    ax.set_title("Metric Comparison")
-    ax.set_ylim(0, 1.05)
-    ax.legend()
+    """Metric comparison figure: one horizontal-bar panel per metric,
+    variants on the shared y-axis, value labels at the bar ends.
+
+    Serves the reference's metric-comparison artifact role (reference
+    common.py:627-644) with an original layout — per-metric panels read
+    better than interleaved grouped bars once variants × metrics grows.
+    """
+    variants = list(metrics_map.keys())
+    y = np.arange(len(variants))[::-1]  # first variant on top
+    n_panels = len(keys)
+    fig, axes = plt.subplots(
+        1, n_panels,
+        figsize=(2.4 * n_panels + 1.2, 0.55 * len(variants) + 1.6),
+        sharey=True,
+    )
+    if n_panels == 1:
+        axes = [axes]
+    cmap = plt.get_cmap("tab10")
+    for panel, (ax, key) in enumerate(zip(axes, keys)):
+        values = np.array(
+            [metrics_map[v].get(key, 0.0) or 0.0 for v in variants], float
+        )
+        ax.barh(y, values, height=0.62, color=cmap(panel % 10), alpha=0.85)
+        for yi, val in zip(y, values):
+            ax.annotate(
+                f"{val:.2f}", (min(val, 0.84), yi), xytext=(3, 0),
+                textcoords="offset points", va="center", fontsize=8,
+            )
+        ax.set_xlim(0.0, 1.0)
+        ax.set_title(key, fontsize=10)
+        ax.grid(axis="x", alpha=0.25)
+        ax.tick_params(labelsize=8)
+    axes[0].set_yticks(y, variants)
+    fig.suptitle("Metric comparison across model variants")
     fig.tight_layout()
     _save(fig, output_path)

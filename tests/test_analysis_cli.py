@@ -201,7 +201,34 @@ def test_dbscan_auto_mode(analysis_outputs, tmp_path):
         ]
     )
     assert (out2 / "figures" / "kdist_plot_unlabeled_ms3.png").exists()
+    # best-DBSCAN's scope k-distance figure (reference clustering.py:898-917)
+    assert (out2 / "figures" / "kdist_plot_unlabeled.png").exists()
     metrics = pd.read_csv(out2 / "tables" / "metrics_clustering.csv")
     db = metrics[metrics.method == "dbscan"]
     assert len(db) == 3  # auto grid: {0.8, 1.0, 1.2}·base for one min_samples
     assert all("unlabeled" in s for s in db["space"])
+
+
+def test_kdist_figure_follows_best_dbscan_scope(analysis_outputs, tmp_path):
+    """Non-auto run scoped to labeled points: the k-distance figure must be
+    kdist_plot_labeled.png over the labeled mask — the best DBSCAN's scope
+    (reference src/clustering.py:898-917), not a hardcoded 'all'."""
+    from src.clustering import main as clustering_main
+
+    _, out = analysis_outputs
+    out3 = tmp_path / "outputs3"
+    clustering_main(
+        [
+            "--features-npz", str(out / "features" / "standardized_features.npz"),
+            "--output-root", str(out3),
+            "--kmeans-range", "2",
+            "--kmeans-n-init", "2",
+            "--tsne-perplexities",
+            "--umap-neighbors",
+            "--dbscan-eps", "4.0",
+            "--dbscan-min-samples", "3",
+            "--dbscan-scope", "labeled",
+        ]
+    )
+    assert (out3 / "figures" / "kdist_plot_labeled.png").exists()
+    assert not (out3 / "figures" / "kdist_plot_all.png").exists()

@@ -57,3 +57,11 @@ def test_pr_curve_matches_sklearn(rng):
     sk_prec, sk_rec, _ = precision_recall_curve(y, p)
     np.testing.assert_allclose(prec, sk_prec, atol=1e-12)
     np.testing.assert_allclose(rec, sk_rec, atol=1e-12)
+
+
+def test_average_precision_matches_sklearn(rng):
+    from sklearn.metrics import average_precision_score
+
+    y = (rng.random(60) > 0.4).astype(int)
+    p = rng.random(60).round(2)
+    assert abs(M.average_precision(y, p) - average_precision_score(y, p)) < 1e-12
