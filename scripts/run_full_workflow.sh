@@ -41,4 +41,5 @@ stage sweep_semi   python -m src.threshold_sweep \
   --strong-data-dir "$D/avec_labels" --model semi
 stage comparison   python scripts/generate_model_comparison.py
 stage reporting    python scripts/generate_reporting_assets.py
+stage readme       python scripts/generate_outputs_readme.py
 echo "=== workflow complete; artifacts under outputs/" >&2

@@ -50,6 +50,11 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         help="tensor-parallel degree: shard wide conv output channels and "
         "the fc input axis over this many devices (1 = pure data parallel)",
     )
+    parser.add_argument(
+        "--compute-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="activation dtype for the train/eval forwards (bfloat16 = MXU "
+        "throughput mode; params/BN stats/loss/optimizer stay float32)",
+    )
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -98,6 +103,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         consistency_weight=getattr(args, "consistency_weight", 0.0),
         consistency_threshold=getattr(args, "consistency_threshold", 0.95),
         resume=getattr(args, "resume", False),
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )
 
 

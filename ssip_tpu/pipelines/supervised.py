@@ -40,7 +40,12 @@ def build_classifier_state(
     config: TrainingConfig, num_classes: int, learning_rate: float
 ) -> Tuple[TrainState, Any]:
     """Fresh classifier TrainState: ported backbone (if available) + new fc."""
-    model = MODEL_FACTORIES[config.arch](num_classes=num_classes)
+    compute_dtype = (
+        jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    )
+    model = MODEL_FACTORIES[config.arch](
+        num_classes=num_classes, compute_dtype=compute_dtype
+    )
     variables = seeded_init_host(
         model, config.seed, (1, config.image_size, config.image_size, 3)
     )

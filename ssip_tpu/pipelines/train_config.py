@@ -42,6 +42,12 @@ class TrainingConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 1e-4
     early_stopping_patience: int = 3
+    # "float32" (reference parity) | "bfloat16" (throughput): activation
+    # dtype for conv/matmul compute in train/eval forwards. Params, BN
+    # statistics, logits, loss, grads and the optimizer stay f32 (the
+    # mixed-precision convention models/resnet.py implements), so
+    # checkpoints and the plateau/early-stop driver are unaffected.
+    compute_dtype: str = "float32"
     output_dir: Path = Path("outputs")
     unlabeled_cohort_csv: Optional[Path] = None
     pretrained_weights: Optional[Path] = None  # torch resnet18 state_dict

@@ -166,6 +166,13 @@ class ArtifactRegistry:
     def image_summary_csv(self) -> Path:
         return self.tables_dir / "image_summary.csv"
 
+    # -- run summary ---------------------------------------------------------
+    @property
+    def outputs_readme_md(self) -> Path:
+        """Run-summary README at the artifact root (reference ships one:
+        /root/reference/outputs/README.md:1-8)."""
+        return self.root / "README.md"
+
     # -- helpers ------------------------------------------------------------
     def threshold_sweep_csv(self, model: str) -> Path:
         return self.tables_dir / f"threshold_sweep_{model}.csv"

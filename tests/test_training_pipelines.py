@@ -188,6 +188,71 @@ def test_semi_pipeline_with_consistency(trained_outputs, tmp_path):
     assert (out / "models" / "semi_resnet18.pt").exists()
 
 
+def test_outputs_readme_generated(trained_outputs):
+    """scripts/generate_outputs_readme.py summarizes whatever artifacts the
+    run produced (reference ships outputs/README.md — /root/reference/
+    outputs/README.md:1-8)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from generate_outputs_readme import main as readme_main
+
+    _, out, _, _ = trained_outputs
+    readme_main(["--output-dir", str(out)])
+    text = (out / "README.md").read_text()
+    assert "# Outputs — run summary" in text
+    assert "## Model results" in text
+    assert "semi_thresholded" in text
+    assert "operating point" in text.lower()
+    assert "## Artifact map" in text
+
+
+def test_bf16_training_matches_f32_metrics(tmp_path):
+    """--compute-dtype bfloat16 training agrees with f32 at the metric level
+    (same tiny run): same final argmax decisions on the separable data and
+    loss trajectories within bf16 tolerance. Params/BN/loss stay f32 by
+    construction — only conv/matmul activations drop precision."""
+    from PIL import Image
+
+    gen = np.random.default_rng(9)
+    root = tmp_path / "ds"
+    for cls, lo, hi in (("cancer", 150, 255), ("normal", 0, 100)):
+        d = root / "avec_labels" / cls
+        d.mkdir(parents=True)
+        for i in range(10):
+            Image.fromarray(
+                gen.integers(lo, hi, (48, 48, 3), dtype=np.uint8)
+            ).save(d / f"{cls}_{i:02d}.jpg")
+
+    def run(dtype: str, out: Path):
+        return run_supervised(
+            TrainingConfig(
+                strong_data_dir=root / "avec_labels",
+                batch_size=8,
+                image_size=32,
+                baseline_epochs=2,
+                output_dir=out,
+                device="cpu",
+                compute_dtype=dtype,
+            )
+        )
+
+    res_f32 = run("float32", tmp_path / "o_f32")
+    res_bf16 = run("bfloat16", tmp_path / "o_bf16")
+
+    hist_f32 = json.loads((tmp_path / "o_f32/notes/training_history.json").read_text())
+    hist_bf16 = json.loads((tmp_path / "o_bf16/notes/training_history.json").read_text())
+    f32_loss = np.asarray(hist_f32["baseline"]["train_loss"])
+    bf16_loss = np.asarray(hist_bf16["baseline"]["train_loss"])
+    # bf16 has ~3 decimal digits; epoch-mean CE losses should track closely
+    np.testing.assert_allclose(bf16_loss, f32_loss, rtol=0.1, atol=0.05)
+    # metric-level parity on the (separable) test split
+    for key in ("accuracy", "f1"):
+        assert abs(
+            res_bf16["baseline_argmax"][key] - res_f32["baseline_argmax"][key]
+        ) <= 0.25 + 1e-9  # one sample flip on the 4-sample test split
+
+
 def test_supervised_pipeline_minimal(tmp_path):
     from PIL import Image
 
