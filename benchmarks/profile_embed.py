@@ -1,0 +1,209 @@
+"""Profile the flagship embed path and summarize where the cycles go.
+
+Round-2 verdict item 8: the ~40% MFU headline was a differenced-timer claim
+with no trace behind it. This script traces the exact program bench.py
+measures (fused Pallas preproc + frozen ResNet-18 bf16 forward, batch 128)
+with ``jax.profiler``, parses the emitted perfetto trace, and writes an
+op-level time breakdown to ``outputs/notes/profile_embed.md`` — the numbers
+docs/performance.md cites. The raw trace directory is left under
+``outputs/profile/`` for TensorBoard.
+
+Usage: ``python benchmarks/profile_embed.py [--batch 128] [--passes 8]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import sys
+from collections import defaultdict
+from functools import partial
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def parse_perfetto(trace_gz: Path) -> tuple[dict, dict, dict, float]:
+    """(time-by-op-name, bytes-by-op-name, time-by-hlo-category, total-us).
+
+    Counts only the device's "XLA Ops" thread — the leaf HLO executions.
+    The "XLA Modules" / "TC Overlay" threads are containers (whole-program
+    and while-loop spans) that would double-count every child. Buckets come
+    from the profiler's own ``hlo_category`` annotation; ``bytes_accessed``
+    is aggregated so memory-boundedness (GB/s) can be derived per op.
+    """
+    with gzip.open(trace_gz, "rt") as f:
+        payload = json.load(f)
+    events = payload.get("traceEvents", [])
+    device_pids: set = set()
+    op_tids: set = set()
+    for ev in events:
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
+            pname = str(ev.get("args", {}).get("name", ""))
+            if "TPU" in pname:
+                device_pids.add(ev.get("pid"))
+        elif ev.get("name") == "thread_name":
+            if str(ev.get("args", {}).get("name", "")) == "XLA Ops":
+                op_tids.add((ev.get("pid"), ev.get("tid")))
+    by_name: dict[str, float] = defaultdict(float)
+    bytes_by_name: dict[str, float] = defaultdict(float)
+    by_cat: dict[str, float] = defaultdict(float)
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        if ev.get("pid") not in device_pids:
+            continue
+        if op_tids and (ev.get("pid"), ev.get("tid")) not in op_tids:
+            continue
+        args = ev.get("args", {})
+        cat = str(args.get("hlo_category", "uncategorized"))
+        # while/conditional spans are CONTAINERS wrapping their body ops on
+        # the same thread (the scan + fori_loop each cover the full window)
+        # — counting them would double every leaf.
+        if cat in ("while", "conditional"):
+            continue
+        dur = float(ev.get("dur", 0.0))
+        name = str(ev.get("name", "?"))
+        by_name[name] += dur
+        bytes_by_name[name] += float(args.get("bytes_accessed", 0) or 0)
+        by_cat[cat] += dur
+        total += dur
+    return dict(by_name), dict(bytes_by_name), dict(by_cat), total
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--n-batches", type=int, default=8)
+    parser.add_argument("--passes", type=int, default=8)
+    parser.add_argument(
+        "--parse-only", action="store_true",
+        help="skip tracing; re-summarize the latest trace on disk",
+    )
+    parser.add_argument("--output-dir", type=Path, default=REPO / "outputs")
+    args = parser.parse_args()
+
+    if args.parse_only:
+        profile_dir = args.output_dir / "profile" / "embed_bf16"
+        imgs = args.passes * args.n_batches * args.batch
+        wall = float("nan")
+        summarize(args, profile_dir, imgs, wall)
+        return
+
+    from ssip_tpu.runtime.jaxconfig import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssip_tpu.models import ResNet18
+    from ssip_tpu.models.host_init import seeded_init_host
+    from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
+    from ssip_tpu.ops.resize import extraction_preprocess
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    rng = np.random.default_rng(0)
+    batches = jnp.asarray(
+        rng.integers(
+            0, 256, (args.n_batches, args.batch, 512, 512, 3), dtype=np.uint8
+        )
+    )
+    jax.block_until_ready(batches)
+
+    model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
+    variables = jax.device_put(seeded_init_host(model, 42, (1, 224, 224, 3)))
+
+    @partial(jax.jit, static_argnames="reps")
+    def embed_all(batches, variables, reps):
+        def one_pass(_, acc):
+            def step(c, u8):
+                x = (
+                    preprocess_images_pallas(u8, out_dtype=jnp.bfloat16)
+                    if on_tpu
+                    else extraction_preprocess(u8, dtype=jnp.bfloat16)
+                )
+                return c + jnp.sum(model.apply(variables, x, train=False)), None
+            c, _ = jax.lax.scan(step, acc, batches)
+            return c
+        return jax.lax.fori_loop(0, reps, one_pass, jnp.float32(0.0))
+
+    # warm: compile + session init, outside the trace
+    float(embed_all(batches, variables, 2))
+
+    import time
+
+    profile_dir = args.output_dir / "profile" / "embed_bf16"
+    profile_dir.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(str(profile_dir), create_perfetto_trace=True):
+        float(embed_all(batches, variables, args.passes))
+    wall = time.perf_counter() - t0
+    imgs = args.passes * args.n_batches * args.batch
+    print(f"traced window: {imgs} imgs in {wall:.2f}s = {imgs / wall:.0f} imgs/s")
+    summarize(args, profile_dir, imgs, wall)
+
+
+def summarize(args, profile_dir: Path, imgs: int, wall: float) -> None:
+    traces = sorted(profile_dir.rglob("*.json.gz"))
+    if not traces:
+        print("no perfetto trace emitted", file=sys.stderr)
+        raise SystemExit(1)
+    by_name, bytes_by_name, by_cat, total = parse_perfetto(traces[-1])
+    if total <= 0:
+        print("empty trace", file=sys.stderr)
+        raise SystemExit(1)
+
+    device_imgs_per_sec = imgs / (total / 1e6)
+    lines = [
+        "# Embed-path profile (bf16, batch %d)" % args.batch,
+        "",
+        f"Traced `{traces[-1].relative_to(args.output_dir)}` — "
+        f"{imgs} images; device busy time {total / 1e3:.0f} ms "
+        f"⇒ {device_imgs_per_sec:.0f} imgs/s of pure device time"
+        + (
+            f" (wall {wall:.2f}s includes trace streaming overhead)."
+            if wall == wall
+            else " (re-summarized from the trace on disk)."
+        )
+        + " Only the leaf 'XLA Ops' thread is counted; categories are the "
+        "profiler's own hlo_category annotations.",
+        "",
+        "## Device time by HLO category",
+        "",
+        "| Category | device time (ms) | share |",
+        "|---|---|---|",
+    ]
+    for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        lines.append(
+            f"| {cat} | {dur / 1e3:.1f} | {dur / total * 100.0:.1f}% |"
+        )
+    lines += ["", "## Top 20 ops by device time", ""]
+    lines += [
+        "| Op | ms | share | HBM GB/s |",
+        "|---|---|---|---|",
+    ]
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:20]:
+        short = name if len(name) <= 70 else name[:67] + "..."
+        gbps = bytes_by_name.get(name, 0.0) / max(dur, 1e-9) / 1e3
+        lines.append(
+            f"| `{short}` | {dur / 1e3:.1f} | {dur / total * 100.0:.1f}% "
+            f"| {gbps:.0f} |"
+        )
+    lines.append("")
+    out_md = args.output_dir / "notes" / "profile_embed.md"
+    out_md.parent.mkdir(parents=True, exist_ok=True)
+    out_md.write_text("\n".join(lines))
+    print(f"wrote {out_md}")
+    print(f"device busy: {total / 1e3:.0f} ms = {device_imgs_per_sec:.0f} imgs/s")
+    for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:<40} {dur / 1e3:>10.1f} ms  {dur / total * 100.0:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()

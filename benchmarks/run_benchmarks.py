@@ -42,6 +42,11 @@ CORPUS = Path("/root/reference/mri_dataset_brain_cancer_oc")
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--skip-e2e", action="store_true",
+        help="skip the (slow, weather-bound) cold e2e extraction section; "
+        "on-chip + train + decode numbers still run",
+    )
     parser.add_argument("--output-dir", type=Path, default=REPO / "outputs")
     args = parser.parse_args()
 
@@ -224,7 +229,19 @@ def main() -> None:
             log(f"decode {label}: {results[f'decode_{label}_imgs_per_sec']:.0f} imgs/s")
 
     # 5. true cold end-to-end extraction
-    if not args.quick:
+    if args.skip_e2e:
+        # carry the previous run's e2e section forward (marked stale) so
+        # the published table keeps all rows
+        prev = args.output_dir / "notes" / "benchmarks.json"
+        if prev.exists():
+            old = json.loads(prev.read_text())
+            for k, v in old.items():
+                if k.startswith(("e2e_", "h2d_link")) and k not in results:
+                    results[k] = v
+            if any(k.startswith("e2e_") for k in results):
+                results["e2e_stale"] = True
+                log("e2e section carried from previous benchmarks.json (--skip-e2e)")
+    elif not args.quick:
         e2e = measure_e2e_extraction(CORPUS, args.output_dir / "bench")
         if e2e:
             results.update(e2e)

@@ -66,12 +66,47 @@ def _native_decoder():
         return None
 
 
+def preprocess_host_exact(
+    arr: np.ndarray, resize: int, crop: int, use_native: bool = True
+) -> np.ndarray:
+    """Reference-exact host preprocessing: short-side resize to ``resize``
+    (long side int-truncated — torchvision semantics) then center crop.
+
+    Native fused triangle-filter kernel when built (BITWISE identical to
+    PIL — it reimplements Pillow's fixed-point resample exactly,
+    tests/test_native_decoder.py), PIL fallback otherwise. Both compute the
+    same chain the device computes (ops/resize.py), so --host-preproc
+    changes bytes-over-link, not numerics.
+    """
+    native = _native_decoder() if use_native else None
+    if native is not None:
+        out = native.resize_crop(arr, resize, crop)
+        if out is not None:
+            return out
+    h0, w0 = arr.shape[:2]
+    if h0 <= w0:
+        th, tw = resize, max(1, int(w0 * resize / h0))
+    else:
+        th, tw = max(1, int(h0 * resize / w0)), resize
+    if (h0, w0) != (th, tw):
+        arr = np.asarray(Image.fromarray(arr).resize((tw, th), Image.BILINEAR))
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+    # torchvision CenterCrop offset: round((size - crop) / 2)
+    top = int(round((arr.shape[0] - crop) / 2.0))
+    left = int(round((arr.shape[1] - crop) / 2.0))
+    return arr[max(top, 0) : max(top, 0) + crop,
+               max(left, 0) : max(left, 0) + crop]
+
+
 def decode_batch(
     paths: Sequence[Path],
     convert_rgb: bool = False,
     num_threads: int = 4,
     fast_scale: Optional[int] = None,
     use_native: bool = True,
+    host_resize: Optional[int] = None,
+    host_crop: Optional[int] = None,
 ) -> Tuple[List[Optional[np.ndarray]], List[Path]]:
     """Decode many images; returns (arrays-with-None-for-failures, failures).
 
@@ -79,12 +114,37 @@ def decode_batch(
     full decode, ~1.5× faster; ~3× with DCT scaling), else a PIL thread
     pool. Thread count is capped at the core count — oversubscribing a
     CPU-bound decode on few cores only adds switching overhead.
+
+    ``host_resize``/``host_crop``: apply the exact resize+crop chain
+    (``preprocess_host_exact``) inside the same worker that decoded the
+    image, so decode→preprocess stays one native-code round per image.
     """
     import os
 
     num_threads = max(1, min(num_threads, os.cpu_count() or 1))
     native = _native_decoder() if use_native else None
-    if native is not None:
+
+    if host_resize is not None and host_crop is not None:
+        def work(p: Path) -> Optional[np.ndarray]:
+            arr = native.decode_one(p, fast_scale) if native is not None else None
+            if arr is None:
+                arr = try_decode_image(p, convert_rgb, fast_scale)
+            if arr is None:
+                return None
+            try:
+                return preprocess_host_exact(
+                    arr, host_resize, host_crop, use_native=use_native
+                )
+            except Exception as exc:  # noqa: BLE001 — tolerated like decode
+                LOGGER.warning("Failed to preprocess %s: %s", p, exc)
+                return None
+
+        if num_threads <= 1 or len(paths) <= 1:
+            arrays = [work(p) for p in paths]
+        else:
+            with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                arrays = list(pool.map(work, paths))
+    elif native is not None:
         arrays = native.decode_batch(paths, num_threads=num_threads, fast_scale=fast_scale)
         # fall back to PIL for anything the native path rejected
         for i, arr in enumerate(arrays):

@@ -246,11 +246,19 @@ def iter_streamed_decode_batches(
                     return
                 lo = bi * batch_size
                 batch_paths = paths[lo : lo + batch_size]
+                # host_resize/host_crop: the exact short-side-resize +
+                # center-crop chain (torchvision semantics, int-truncated
+                # long side) runs INSIDE decode_batch's workers — native
+                # fused kernel when built — so the single decode-stage
+                # thread never pays per-image Python/PIL work
+                # (data/decode.py:preprocess_host_exact).
                 arrays, failed = decode_batch(
                     batch_paths,
                     convert_rgb=convert_rgb,
                     num_threads=num_threads,
                     fast_scale=fast_scale,
+                    host_resize=host_resize,
+                    host_crop=host_crop,
                 )
                 if failed and failures is not None:
                     failures.extend(failed)
@@ -259,34 +267,6 @@ def iter_streamed_decode_batches(
                 for j, arr in enumerate(arrays):
                     if arr is None:
                         continue
-                    if host_resize:
-                        # torchvision Resize(n): SHORT side → n, aspect
-                        # preserved, long side int-TRUNCATED (torchvision
-                        # _compute_resized_output_size) — must match
-                        # ops/resize.py's extraction_preprocess exactly or
-                        # "exact host preproc" silently diverges on
-                        # non-square inputs
-                        h0, w0 = arr.shape[:2]
-                        if h0 <= w0:
-                            th, tw = host_resize, max(
-                                1, int(w0 * host_resize / h0)
-                            )
-                        else:
-                            th, tw = (
-                                max(1, int(h0 * host_resize / w0)),
-                                host_resize,
-                            )
-                        if (h0, w0) != (th, tw):
-                            arr = np.asarray(
-                                Image.fromarray(arr).resize(
-                                    (tw, th), Image.BILINEAR
-                                )
-                            )
-                    if host_crop and arr.shape[:2] != (host_crop, host_crop):
-                        # torchvision CenterCrop offset: round((s-c)/2)
-                        top = int(round((arr.shape[0] - host_crop) / 2.0))
-                        left = int(round((arr.shape[1] - host_crop) / 2.0))
-                        arr = arr[top : top + host_crop, left : left + host_crop]
                     if arr.shape != (h, w, c):
                         # decode_image already stacks grayscale to 3ch;
                         # this is the same odd-shape normalization

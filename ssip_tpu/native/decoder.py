@@ -38,6 +38,16 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.ssip_jpeg_decode.restype = ctypes.c_int
+        try:
+            lib.ssip_resize_crop_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
+            lib.ssip_resize_crop_u8.restype = ctypes.c_int
+        except AttributeError:  # stale .so from before the resize entry
+            lib._ssip_no_resize = True
         _lib = lib
     except OSError:
         return None
@@ -85,6 +95,48 @@ def decode_one(path: Path, fast_scale: Optional[int] = None) -> Optional[np.ndar
     if rc != 0:
         return None
     return buf
+
+
+def resize_crop(
+    arr: np.ndarray, resize: int, crop: int
+) -> Optional[np.ndarray]:
+    """Exact preprocessing on the host: short-side resize to ``resize``
+    (long side int-truncated — torchvision semantics) + center crop, via the
+    native fused triangle-filter kernel. Returns uint8 [crop, crop, 3] or
+    None when unavailable/inapplicable (caller falls back to PIL).
+
+    BITWISE identical to PIL on every shape (Pillow's fixed-point resample
+    reimplemented exactly); the device chain (ops/resize.py) is tested
+    against the same PIL oracle — tests/test_native_decoder.py.
+    """
+    lib = _load()
+    if (
+        lib is None
+        or getattr(lib, "_ssip_no_resize", False)
+        or arr.dtype != np.uint8
+        or arr.ndim != 3
+        or arr.shape[2] != 3
+    ):
+        return None
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    if h <= 0 or w <= 0:
+        return None
+    if h <= w:
+        th, tw = resize, max(1, int(w * resize / h))
+    else:
+        th, tw = max(1, int(h * resize / w)), resize
+    row0 = int(round((th - crop) / 2.0))
+    col0 = int(round((tw - crop) / 2.0))
+    if row0 < 0 or col0 < 0:  # crop larger than resized image: PIL path
+        return None
+    src = np.ascontiguousarray(arr)
+    out = np.empty((crop, crop, 3), np.uint8)
+    rc = lib.ssip_resize_crop_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h, w, th, tw, row0, col0, crop,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out if rc == 0 else None
 
 
 def decode_batch(

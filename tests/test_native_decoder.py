@@ -49,3 +49,62 @@ def test_integration_through_decode_batch(tiny_image_tree):
     assert not failures
     for a, b in zip(arrays, ref_arrays):
         np.testing.assert_array_equal(a, b)
+
+
+def test_resize_crop_matches_pil_oracle(rng):
+    """Native fused triangle-filter resize+crop is BITWISE the PIL chain
+    with torchvision size semantics (int-truncated long side) on every
+    shape — it reimplements Pillow's 8bpc fixed-point resample exactly
+    (PRECISION_BITS coefficients, integer accumulation, clip8)."""
+    for h, w in [(512, 512), (384, 512), (427, 640), (96, 64), (256, 256),
+                 (300, 301)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = decoder.resize_crop(img, 256, 224)
+        assert got is not None and got.shape == (224, 224, 3)
+        if h <= w:
+            th, tw = 256, max(1, int(w * 256 / h))
+        else:
+            th, tw = max(1, int(h * 256 / w)), 256
+        ref = img if (h, w) == (th, tw) else np.asarray(
+            Image.fromarray(img).resize((tw, th), Image.BILINEAR)
+        )
+        top = int(round((th - 224) / 2.0))
+        left = int(round((tw - 224) / 2.0))
+        ref = ref[top : top + 224, left : left + 224]
+        np.testing.assert_array_equal(got, ref, err_msg=f"{h}x{w}")
+
+
+def test_resize_crop_matches_device_chain(rng):
+    """Native host preprocessing == the device chain's resample grid
+    (ops/resize.py resize_bilinear with fused crop slices), uint8-exact
+    within 1 LSB — the --host-preproc 'no numerics change' claim."""
+    import jax.numpy as jnp
+
+    from ssip_tpu.ops.resize import center_crop_bounds, resize_bilinear
+
+    img = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+    got = decoder.resize_crop(img, 256, 224)
+    s = center_crop_bounds(256, 224)
+    dev = np.asarray(
+        resize_bilinear(jnp.asarray(img[None]), 256, 256, row_slice=s, col_slice=s)
+    )[0].astype(np.uint8)
+    np.testing.assert_array_equal(got, dev)
+
+
+def test_decode_batch_fused_host_preproc(tiny_image_tree):
+    """decode_batch(host_resize, host_crop) returns crop-shaped rows that
+    equal decode-then-preprocess_host_exact, native and PIL paths agreeing."""
+    from ssip_tpu.data.decode import decode_batch, preprocess_host_exact
+
+    files = sorted((tiny_image_tree / "sans_label").glob("*.jpg"))[:4]
+    fused, fails = decode_batch(files, num_threads=2, host_resize=48, host_crop=32)
+    assert not fails
+    assert all(a.shape == (32, 32, 3) for a in fused)
+    pil, _ = decode_batch(
+        files, num_threads=2, host_resize=48, host_crop=32, use_native=False
+    )
+    for a, b in zip(fused, pil):
+        np.testing.assert_array_equal(a, b)  # native ≡ PIL bitwise
+    raw, _ = decode_batch(files, num_threads=2)
+    for a, r in zip(fused, raw):
+        np.testing.assert_array_equal(a, preprocess_host_exact(r, 48, 32))
