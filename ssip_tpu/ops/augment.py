@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ssip_tpu.ops.resize import normalize_imagenet
+from ssip_tpu.ops.resize import normalize_imagenet_u8
 
 
 def random_flip(images: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
@@ -37,23 +37,40 @@ def random_rotate_nearest(
     ) * (jnp.pi / 180.0)
 
     # Inverse mapping: for each output pixel, rotate back to source coords.
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy  # [H,1]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx  # [1,W]
     # PIL/torchvision rotate: positive angle = counter-clockwise on screen
     # (y-down coords) — the inverse pixel map is the clockwise rotation.
-    cos = jnp.cos(angles)[:, None, None]
-    sin = jnp.sin(angles)[:, None, None]
-    src_y = cos * yy + sin * xx + cy  # [B,H,W]
-    src_x = -sin * yy + cos * xx + cx
-
-    iy = jnp.round(src_y).astype(jnp.int32)
-    ix = jnp.round(src_x).astype(jnp.int32)
+    #
+    # The map is computed in FIXED-POINT integer arithmetic: per-pixel
+    # float cos·y+sin·x is fma-contraction-sensitive, so the same epoch
+    # compiled as a fused scan vs per-step programs could round a
+    # boundary pixel differently and break fused==per-step equivalence
+    # (tests/test_fused_equivalence.py). Quantizing cos/sin once per image
+    # to 2⁻¹⁶ and doing the per-pixel work in int32 makes the index map
+    # bit-identical under any XLA fusion choice (boundary shift vs exact
+    # trig ≤ ~2⁻¹⁶·max(h,w)/2 px — far below the NN rounding granularity).
+    q = 1 << 16
+    icos = jnp.round(jnp.cos(angles) * q).astype(jnp.int32)[:, None, None]
+    isin = jnp.round(jnp.sin(angles) * q).astype(jnp.int32)[:, None, None]
+    yy2 = (2 * jnp.arange(h, dtype=jnp.int32) - (h - 1))[:, None]  # 2(y−cy)
+    xx2 = (2 * jnp.arange(w, dtype=jnp.int32) - (w - 1))[None, :]  # 2(x−cx)
+    ay = icos * yy2 + isin * xx2  # [B,H,W] = 2q·(src_y − cy)
+    ax = -isin * yy2 + icos * xx2
+    # iy = floor(src_y + ½) = floor((ay + h·q) / 2q), exactly, in ints
+    iy = (ay + h * q) // (2 * q)
+    ix = (ax + w * q) // (2 * q)
     valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
     iy = jnp.clip(iy, 0, h - 1)
     ix = jnp.clip(ix, 0, w - 1)
 
-    gathered = jax.vmap(lambda img, y, x: img[y, x])(images, iy, ix)  # [B,H,W,C]
+    # Flat single-axis take: index-identical to the 2-D fancy gather but
+    # ~19% faster on v5e (measured 2,878 vs 2,424 imgs/s; an int32
+    # RGB-packing variant measured slower). This gather IS the train-step
+    # augmentation cost — it runs on the scalar/DMA path, not the MXU —
+    # see docs/performance.md "Training step" for the ceiling analysis.
+    flat = (iy * w + ix).reshape(images.shape[0], -1)  # [B, H*W]
+    gathered = jax.vmap(
+        lambda img, idx: jnp.take(img.reshape(h * w, -1), idx, axis=0)
+    )(images, flat).reshape(images.shape)
     return jnp.where(valid[..., None], gathered, jnp.zeros_like(gathered))
 
 
@@ -65,18 +82,18 @@ def train_augment(
     k_flip, k_rot = jax.random.split(key)
     x = random_flip(images_u8, k_flip)
     x = random_rotate_nearest(x, k_rot, rotate_degrees)
-    return normalize_imagenet(x.astype(jnp.float32) / 255.0, dtype=dtype)
+    return normalize_imagenet_u8(x, dtype=dtype)
 
 
 def eval_preprocess(images_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Eval chain: ToTensor → normalize (resize happens upstream)."""
-    return normalize_imagenet(images_u8.astype(jnp.float32) / 255.0, dtype=dtype)
+    return normalize_imagenet_u8(images_u8, dtype=dtype)
 
 
 def weak_augment(images_u8: jnp.ndarray, key: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
     """FixMatch 'weak' view: horizontal flip only → normalize."""
     x = random_flip(images_u8, key)
-    return normalize_imagenet(x.astype(jnp.float32) / 255.0, dtype=dtype)
+    return normalize_imagenet_u8(x, dtype=dtype)
 
 
 def strong_augment(
@@ -92,4 +109,4 @@ def strong_augment(
     contrast = jax.random.uniform(k_contrast, (b, 1, 1, 1), minval=0.7, maxval=1.3)
     mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
     x = jnp.clip((x - mean) * contrast + mean + brightness, 0.0, 255.0)
-    return normalize_imagenet(x / 255.0, dtype=dtype)
+    return normalize_imagenet_u8(x, dtype=dtype)

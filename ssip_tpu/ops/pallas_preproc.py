@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -50,9 +52,14 @@ def _preproc_kernel(img_ref, wv_ref, wht_ref, out_ref, *, out_dtype):
         # vertical pass (H axis)
         y = jnp.dot(wv, t, preferred_element_type=jnp.float32)
         y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0)
-        # ToTensor + Normalize epilogue
-        y = (y * (1.0 / 255.0) - IMAGENET_MEAN[c]) * (1.0 / IMAGENET_STD[c])
-        out_ref[0, c] = y.astype(out_dtype)
+        # ToTensor + Normalize epilogue — the SAME single-affine form as
+        # ops.resize.normalize_imagenet_u8 ((x − 255·mean)·1/(255·std),
+        # constants pre-rounded f64→f32), so kernel and XLA path round
+        # identically: one subtract + one multiply, bitwise-stable under
+        # any fusion/lowering.
+        off = np.float32(255.0 * float(IMAGENET_MEAN[c]))
+        sc = np.float32(1.0 / (255.0 * float(IMAGENET_STD[c])))
+        out_ref[0, c] = ((y - off) * sc).astype(out_dtype)
 
 
 @partial(jax.jit, static_argnames=("resize", "crop", "out_dtype"))

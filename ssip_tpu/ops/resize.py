@@ -92,8 +92,34 @@ def center_crop_bounds(size: int, crop: int) -> slice:
 def normalize_imagenet(x01: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """(x - mean) / std on [0,1] NHWC input."""
     mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
-    return ((x01 - mean) / std).astype(dtype)
+    inv_std = jnp.asarray(
+        np.float32(1.0) / np.asarray(IMAGENET_STD, np.float32), jnp.float32
+    )
+    return ((x01 - mean) * inv_std).astype(dtype)
+
+
+def normalize_imagenet_u8(x_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """ToTensor → ImageNet-normalize fused into one affine on uint8-scale
+    input: ``(x − 255·mean) · 1/(255·std)``, constants precomputed in f64.
+
+    Why not ``(x/255 − mean) * inv_std``: XLA may fold the divide-by-
+    constant and contract the following subtract differently depending on
+    the surrounding fusion (a ``lax.scan`` epoch body vs a per-step
+    program), flipping the result by 1 ulp between two compilations of the
+    *same* augmentation (measured on CPU; tests/test_fused_equivalence.py
+    demands bit-equality because 1-ulp input noise compounds chaotically
+    through SGD). This form is exactly one f32 subtract + one f32 multiply
+    — not fma-contractible, not foldable — so every fusion context rounds
+    identically. Numerics vs the torch chain shift ≤2 ulp, inside every
+    parity bound.
+    """
+    offset = jnp.asarray(
+        (255.0 * np.asarray(IMAGENET_MEAN, np.float64)).astype(np.float32)
+    )
+    scale = jnp.asarray(
+        (1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float64))).astype(np.float32)
+    )
+    return ((x_u8.astype(jnp.float32) - offset) * scale).astype(dtype)
 
 
 def extraction_preprocess(
@@ -127,7 +153,7 @@ def extraction_preprocess(
         row_slice=center_crop_bounds(out_h, crop),
         col_slice=center_crop_bounds(out_w, crop),
     )
-    return normalize_imagenet(x / 255.0, dtype=dtype)
+    return normalize_imagenet_u8(x, dtype=dtype)
 
 
 def training_resize(images_u8: jnp.ndarray, image_size: int = 224) -> jnp.ndarray:
