@@ -10,6 +10,8 @@ affine gather — batched, shape-static, PRNG-keyed per epoch.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -23,31 +25,24 @@ def random_flip(images: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     return jnp.where(flip[:, None, None, None], flipped, images)
 
 
-def random_rotate_nearest(
-    images: jnp.ndarray, key: jax.Array, max_degrees: float = 10.0
-) -> jnp.ndarray:
-    """Per-image rotation by U(-max_deg, max_deg) about the center.
+def _rotation_index_map(angles: jax.Array, h: int, w: int):
+    """Fixed-point inverse pixel map for NN rotation: (iy, ix, valid).
 
-    Nearest-neighbor sampling, no expansion, zero fill — torchvision
-    RandomRotation defaults. images: [B, H, W, C] (any numeric dtype).
+    Inverse mapping: for each output pixel, rotate back to source coords.
+    PIL/torchvision rotate: positive angle = counter-clockwise on screen
+    (y-down coords) — the inverse pixel map is the clockwise rotation.
+
+    The map is computed in FIXED-POINT integer arithmetic: per-pixel
+    float cos·y+sin·x is fma-contraction-sensitive, so the same epoch
+    compiled as a fused scan vs per-step programs could round a
+    boundary pixel differently and break fused==per-step equivalence
+    (tests/test_fused_equivalence.py). Quantizing cos/sin once per image
+    to 2⁻¹⁶ and doing the per-pixel work in int32 makes the index map
+    bit-identical under any XLA fusion choice (boundary shift vs exact
+    trig ≤ ~2⁻¹⁶·max(h,w)/2 px — far below the NN rounding granularity).
+
+    ``iy``/``ix`` are returned UNCLIPPED; ``valid`` marks in-bounds pixels.
     """
-    b, h, w, _ = images.shape
-    angles = jax.random.uniform(
-        key, (b,), minval=-max_degrees, maxval=max_degrees
-    ) * (jnp.pi / 180.0)
-
-    # Inverse mapping: for each output pixel, rotate back to source coords.
-    # PIL/torchvision rotate: positive angle = counter-clockwise on screen
-    # (y-down coords) — the inverse pixel map is the clockwise rotation.
-    #
-    # The map is computed in FIXED-POINT integer arithmetic: per-pixel
-    # float cos·y+sin·x is fma-contraction-sensitive, so the same epoch
-    # compiled as a fused scan vs per-step programs could round a
-    # boundary pixel differently and break fused==per-step equivalence
-    # (tests/test_fused_equivalence.py). Quantizing cos/sin once per image
-    # to 2⁻¹⁶ and doing the per-pixel work in int32 makes the index map
-    # bit-identical under any XLA fusion choice (boundary shift vs exact
-    # trig ≤ ~2⁻¹⁶·max(h,w)/2 px — far below the NN rounding granularity).
     q = 1 << 16
     icos = jnp.round(jnp.cos(angles) * q).astype(jnp.int32)[:, None, None]
     isin = jnp.round(jnp.sin(angles) * q).astype(jnp.int32)[:, None, None]
@@ -59,17 +54,23 @@ def random_rotate_nearest(
     iy = (ay + h * q) // (2 * q)
     ix = (ax + w * q) // (2 * q)
     valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+    return iy, ix, valid
+
+
+def _rotate_gather(images: jnp.ndarray, iy, ix, valid) -> jnp.ndarray:
+    """Index-map application as ONE flat take over the flattened batch.
+
+    Index-identical to the 2-D fancy gather, but measured 4,500 imgs/s on
+    v5e vs 2,970 for the per-image (vmapped) take and 2,420 for the 2-D
+    gather — one big gather amortizes per-op index-stream setup that B
+    separate batched gathers pay repeatedly (int32 RGB-packing and
+    take_along_axis variants measured no better). XLA's gather runs on the
+    scalar path (~245M indices/s) regardless of formulation — which is why
+    the TPU train path uses ``_rotate_mxu`` below instead.
+    """
+    b, h, w, _ = images.shape
     iy = jnp.clip(iy, 0, h - 1)
     ix = jnp.clip(ix, 0, w - 1)
-
-    # ONE flat take over the whole flattened batch: index-identical to the
-    # 2-D fancy gather, but measured 4,500 imgs/s on v5e vs 2,970 for the
-    # per-image (vmapped) take and 2,420 for the 2-D gather — one big
-    # gather amortizes per-op index-stream setup that B separate batched
-    # gathers pay repeatedly (int32 RGB-packing and take_along_axis
-    # variants measured no better). This gather IS the train-step
-    # augmentation cost — it runs on the scalar/DMA path, not the MXU —
-    # see docs/performance.md "Training step" for the ceiling analysis.
     flat = (iy * w + ix) + (
         jnp.arange(b, dtype=jnp.int32) * (h * w)
     )[:, None, None]  # [B,H,W] global indices
@@ -77,6 +78,165 @@ def random_rotate_nearest(
         images.reshape(b * h * w, -1), flat.reshape(-1), axis=0
     ).reshape(images.shape)
     return jnp.where(valid[..., None], gathered, jnp.zeros_like(gathered))
+
+
+def _mxu_geometry(h: int, w: int, max_degrees: float):
+    """Static band geometry for the MXU rotation path.
+
+    For |θ| ≤ max_degrees, the source rows needed by one [YB, W] output
+    row-block span at most ceil(sin·(w−1)) + (YB−1) + fixed-point slack
+    rows — a narrow band. Margins are computed from the *fixed-point* index
+    map's worst case (±2 rows of floor/quantization slack) so the band is
+    guaranteed to cover every in-range index; out-of-range indices land in
+    zero padding and are masked by ``valid`` anyway.
+    """
+    sinm = math.sin(math.radians(max_degrees))
+    cosm = math.cos(math.radians(max_degrees))
+    yb = 16 if h % 16 == 0 else (8 if h % 8 == 0 else 0)
+    if yb == 0:
+        return None
+    # max |iy| overshoot beyond [0, h) at the image corners
+    pt = math.ceil((sinm * (w - 1) + (1.0 - cosm) * (h - 1)) / 2.0) + 2
+    # max iy span within one (YB, W) cell
+    span = math.ceil(sinm * (w - 1)) + (yb - 1) + 3
+    r = ((span + 1 + 7) // 8) * 8
+    hp = h + 2 * pt + r  # tall enough that band starts never need clamping
+    return yb, pt, r, hp
+
+
+def _rotate_mxu(
+    images_u8: jnp.ndarray, iy, ix, valid, max_degrees: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """NN rotation on the MXU: one-hot matmuls instead of a hardware gather.
+
+    XLA lowers the rotation gather to the scalar unit (~245M indices/s —
+    50% of the fused train step's device time at batch 64). This kernel
+    re-expresses the same index map as dense compute:
+
+      1. XLA prep: slice a [R, W] source row-band per (image, 16-row output
+         block) with ONE large-slice gather (large contiguous slices run on
+         the DMA path at ~80+ GB/s, unlike per-element gathers).
+      2. Pallas kernel per (image, block): build the column one-hot
+         C1ᵀ[c, i] = (c == ix[i]) with a lane-direction broadcast (the
+         cheap VPU direction — the untransposed [i, c] layout costs 5× by
+         broadcasting per-sublane scalars across lanes), contract it with
+         the band on the MXU, then reduce the R rows of the [3R, N]
+         product with a row one-hot mask — channel blocks are sublane
+         slices, so the reduction never touches the lane axis.
+
+    One-hot dots of uint8 values are EXACT in bf16 (integers ≤ 255 carry 8
+    mantissa bits; exactly one nonzero per contraction), so the result is
+    bit-identical to ``_rotate_gather`` — asserted by
+    tests/test_rotate_mxu.py, and measured 21,200 imgs/s vs 4,500 on v5e
+    (augmentation alone, batch 64).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = images_u8.shape
+    yb, pt, r, hp = _mxu_geometry(h, w, max_degrees)
+    t = h // yb
+    n = yb * w
+
+    iyp = iy + pt
+    cy0 = jnp.min(iyp.reshape(b, t, yb, w), axis=(2, 3))  # [B,T] band starts
+    cy0 = jnp.clip(cy0, 0, hp - r)  # no-op given the margins; pure safety
+    e2 = iyp.reshape(b, t, yb, w) - cy0[:, :, None, None]
+
+    padded = jnp.pad(images_u8, ((0, 0), (pt, hp - h - pt), (0, 0), (0, 0)))
+    src = padded.astype(jnp.bfloat16)
+    starts = jnp.stack(
+        [jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, t)), cy0],
+        axis=-1,
+    ).reshape(-1, 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+    )
+    bands = jax.lax.gather(
+        src, starts, dn, slice_sizes=(1, r, w, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(b, t, r, w, c)
+    band_t = bands.transpose(0, 1, 4, 2, 3).reshape(b, t, c * r, w)
+
+    def kernel(ix_ref, e2_ref, band_ref, out_ref):
+        ix_row = ix_ref[0, 0]  # [1, N] — row vectors: broadcasts ride lanes
+        e2_row = e2_ref[0, 0]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (w, n), 0)
+        c1h_t = (c_iota == ix_row).astype(jnp.bfloat16)  # [W, N]
+        step1 = jnp.dot(  # [cR, N] — the gather, as MXU work
+            band_ref[0, 0], c1h_t, preferred_element_type=jnp.float32
+        )
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (r, n), 0)
+        r1h_t = (r_iota == e2_row).astype(jnp.float32)  # [R, N]
+        for ch in range(c):
+            masked = step1[ch * r:(ch + 1) * r, :] * r1h_t
+            out_ref[0, 0, ch, :] = jnp.sum(masked, axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, n), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c * r, w), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, n), lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, 8, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ix.reshape(b, t, 1, n), e2.reshape(b, t, 1, n), band_t)
+    g = out[:, :, :c, :].transpose(0, 1, 3, 2).reshape(b, h, w, c)
+    g = g.astype(jnp.uint8)
+    return jnp.where(valid[..., None], g, jnp.zeros_like(g))
+
+
+def _use_mxu_rotation(images: jnp.ndarray, max_degrees: float) -> bool:
+    """MXU path gate: TPU backend, uint8 pixels, supported geometry.
+
+    Per-project invariant, Pallas is TPU-only — CPU/GPU take the XLA
+    gather, and tests compare the two in interpret mode. uint8-only
+    because band values must be bf16-exact. The band-FLOP cost grows with
+    sin(max_degrees); past ~25° the matmul work approaches the gather's
+    cost, so wide rotations keep the gather.
+    """
+    if images.dtype != jnp.uint8:
+        return False
+    b, h, w, c = images.shape
+    if c != 3 or max_degrees > 25.0:
+        return False
+    if _mxu_geometry(h, w, max_degrees) is None:
+        return False
+    if h * w < 64 * 64:  # band machinery not worth it for tiny images
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def random_rotate_nearest(
+    images: jnp.ndarray, key: jax.Array, max_degrees: float = 10.0
+) -> jnp.ndarray:
+    """Per-image rotation by U(-max_deg, max_deg) about the center.
+
+    Nearest-neighbor sampling, no expansion, zero fill — torchvision
+    RandomRotation defaults. images: [B, H, W, C] (any numeric dtype).
+    On TPU with uint8 inputs the index map is applied on the MXU
+    (``_rotate_mxu``); elsewhere via the flat-take gather. Both paths are
+    bit-identical (tests/test_rotate_mxu.py).
+    """
+    b, h, w, _ = images.shape
+    angles = jax.random.uniform(
+        key, (b,), minval=-max_degrees, maxval=max_degrees
+    ) * (jnp.pi / 180.0)
+    iy, ix, valid = _rotation_index_map(angles, h, w)
+    if _use_mxu_rotation(images, max_degrees):
+        return _rotate_mxu(images, iy, ix, valid, max_degrees)
+    return _rotate_gather(images, iy, ix, valid)
 
 
 def train_augment(
