@@ -183,7 +183,7 @@ def main() -> None:
     for dname, dtype in dtype_variants:
         model = ResNet18(num_classes=2, compute_dtype=dtype)
         variables = jax.device_put(host_cls_vars)
-        for tb in ((16, 64) if not args.quick else (16,)):
+        for tb in ((16, 64, 128) if not args.quick else (16,)):
             state = TrainState.create(
                 apply_fn=model.apply, params=variables["params"],
                 batch_stats=variables["batch_stats"], tx=make_optimizer(1e-4, 1e-4),
@@ -260,6 +260,14 @@ def main() -> None:
     notes = args.output_dir / "notes"
     notes.mkdir(parents=True, exist_ok=True)
     (notes / "benchmarks.json").write_text(json.dumps(results, indent=2, default=str))
+    render_md(results, notes, on_tpu)
+    print(json.dumps(
+        {"embedding_bf16_imgs_per_sec": results["embedding_bf16_imgs_per_sec"]}
+    ))
+
+
+def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
+    """Render ``benchmarks.md`` from a (possibly reloaded) results dict."""
 
     def fmt(key: str) -> str:
         v = float(results.get(key, 0.0))
@@ -311,7 +319,7 @@ def main() -> None:
             f"{results['h2d_link_mb_per_sec']:.0f} MB/s | — |",
         ]
     for dname, label in (("f32", "f32 parity"), ("bf16", "bf16 throughput")):
-        for tb in (16, 64):
+        for tb in (16, 64, 128, 256, 512):
             key = f"train_steps_per_sec_{dname}_batch{tb}"
             if key in results:
                 imgs_s = float(results[key]) * tb
@@ -345,8 +353,14 @@ def main() -> None:
             f"shape; warm-cache runs bypass decode entirely (memmap store)."
         )
     (notes / "benchmarks.md").write_text("\n".join(lines) + "\n")
-    print(json.dumps({"embedding_bf16_imgs_per_sec": emb}))
 
 
 if __name__ == "__main__":
-    main()
+    if "--render-only" in sys.argv:
+        # Re-render benchmarks.md from the saved benchmarks.json without
+        # touching the device (fast path after a renderer-only change).
+        notes = REPO / "outputs" / "notes"
+        saved = json.loads((notes / "benchmarks.json").read_text())
+        render_md(saved, notes, on_tpu="TPU" in str(saved.get("platform", "")))
+    else:
+        main()
