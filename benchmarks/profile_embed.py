@@ -49,6 +49,16 @@ def parse_perfetto(trace_gz: Path) -> tuple[dict, dict, dict, float]:
         elif ev.get("name") == "thread_name":
             if str(ev.get("args", {}).get("name", "")) == "XLA Ops":
                 op_tids.add((ev.get("pid"), ev.get("tid")))
+    if device_pids:
+        op_tids = {pt for pt in op_tids if pt[0] in device_pids}
+    if not op_tids:
+        # Without the leaf-op thread filter we would count "XLA Modules" /
+        # overlay container spans that wrap the same ops, ~doubling device
+        # time — refuse rather than silently publish halved imgs/s.
+        raise SystemExit(
+            f"no 'XLA Ops' thread metadata in {trace_gz} — profiler trace "
+            "format changed? refusing to double-count container spans"
+        )
     by_name: dict[str, float] = defaultdict(float)
     bytes_by_name: dict[str, float] = defaultdict(float)
     by_cat: dict[str, float] = defaultdict(float)
@@ -56,9 +66,7 @@ def parse_perfetto(trace_gz: Path) -> tuple[dict, dict, dict, float]:
     for ev in events:
         if ev.get("ph") != "X":
             continue
-        if ev.get("pid") not in device_pids:
-            continue
-        if op_tids and (ev.get("pid"), ev.get("tid")) not in op_tids:
+        if (ev.get("pid"), ev.get("tid")) not in op_tids:
             continue
         args = ev.get("args", {})
         cat = str(args.get("hlo_category", "uncategorized"))
@@ -90,9 +98,22 @@ def main() -> None:
 
     if args.parse_only:
         profile_dir = args.output_dir / "profile" / "embed_bf16"
-        imgs = args.passes * args.n_batches * args.batch
-        wall = float("nan")
-        summarize(args, profile_dir, imgs, wall)
+        # The image count must come from the run that PRODUCED the trace,
+        # not from this invocation's flags (a default-flag --parse-only of
+        # a --batch 64 trace would otherwise inflate imgs/s 2×).
+        meta_path = profile_dir / "meta.json"
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            imgs = int(meta["imgs"])
+            args.batch = int(meta.get("batch", args.batch))
+        else:
+            print(
+                "warning: no meta.json next to the trace; deriving the "
+                "image count from CLI flags — they MUST match the traced "
+                "run", file=sys.stderr,
+            )
+            imgs = args.passes * args.n_batches * args.batch
+        summarize(args, profile_dir, imgs, float("nan"))
         return
 
     from ssip_tpu.runtime.jaxconfig import setup_jax
@@ -145,6 +166,10 @@ def main() -> None:
         float(embed_all(batches, variables, args.passes))
     wall = time.perf_counter() - t0
     imgs = args.passes * args.n_batches * args.batch
+    (profile_dir / "meta.json").write_text(json.dumps(
+        {"imgs": imgs, "batch": args.batch, "n_batches": args.n_batches,
+         "passes": args.passes}
+    ))
     print(f"traced window: {imgs} imgs in {wall:.2f}s = {imgs / wall:.0f} imgs/s")
     summarize(args, profile_dir, imgs, wall)
 

@@ -43,6 +43,22 @@ def main() -> None:
     profile_dir = args.output_dir / "profile" / tag
     imgs = args.passes * args.steps * args.batch
     if args.parse_only:
+        # The image count must come from the run that PRODUCED the trace,
+        # not this invocation's flags (see profile_embed.py).
+        meta_path = profile_dir / "meta.json"
+        if meta_path.exists():
+            import json
+
+            meta = json.loads(meta_path.read_text())
+            imgs = int(meta["imgs"])
+            args.batch = int(meta.get("batch", args.batch))
+            args.no_augment = not bool(meta.get("augment", not args.no_augment))
+        else:
+            print(
+                "warning: no meta.json next to the trace; deriving the "
+                "image count from CLI flags — they MUST match the traced "
+                "run", file=sys.stderr,
+            )
         summarize(args, profile_dir, imgs, float("nan"))
         return
 
@@ -91,6 +107,13 @@ def main() -> None:
     with jax.profiler.trace(str(profile_dir), create_perfetto_trace=True):
         run_epochs(args.passes)
     wall = time.perf_counter() - t0
+    import json
+
+    (profile_dir / "meta.json").write_text(json.dumps(
+        {"imgs": imgs, "batch": args.batch, "steps": args.steps,
+         "passes": args.passes, "compute_dtype": args.compute_dtype,
+         "augment": not args.no_augment}
+    ))
     print(f"traced window: {imgs} imgs in {wall:.2f}s = {imgs / wall:.0f} imgs/s")
     summarize(args, profile_dir, imgs, wall)
 

@@ -297,12 +297,20 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
             f"{fmt('embedding_f32_imgs_per_sec')} imgs/s/chip | — |"
         )
     if "e2e_streamed_imgs_per_sec" in results:
+        # --skip-e2e carries the previous run's e2e section forward; mark
+        # those rows so the table never pairs fresh on-chip numbers with
+        # old tunnel weather without saying so.
+        stale_s = " (stale: carried from a previous run)" if results.get(
+            "e2e_stale"
+        ) else ""
+
         def e2e_row(label: str, key: str, target: str = "—") -> str:
             link = results.get(f"e2e_{key}_link_mb_per_sec")
             link_s = f" @ link {float(link):.0f} MB/s" if link is not None else ""
             return (
                 f"| E2E cold extraction ({label}) | "
-                f"{fmt(f'e2e_{key}_imgs_per_sec')} imgs/s{link_s} | {target} |"
+                f"{fmt(f'e2e_{key}_imgs_per_sec')} imgs/s{link_s}{stale_s} "
+                f"| {target} |"
             )
 
         lines += [
@@ -324,12 +332,16 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
             if key in results:
                 imgs_s = float(results[key]) * tb
                 # fwd ≈1.82 GFLOP/img (docs/performance.md) + backward ≈2×
-                # forward ⇒ ~5.46 GFLOP/img; v5e bf16 peak 197 TFLOP/s
-                mfu = imgs_s * 5.46e9 / 197e12 * 100.0
+                # forward ⇒ ~5.46 GFLOP/img; v5e bf16 peak 197 TFLOP/s.
+                # f32 has no native MXU peak (it runs as multi-pass bf16),
+                # so f32 rows are stated against the bf16 peak explicitly
+                # rather than as "MFU" of a nonexistent f32 peak.
+                pct = imgs_s * 5.46e9 / 197e12 * 100.0
+                unit = "% MFU" if dname == "bf16" else "% of bf16 peak"
                 lines.append(
                     f"| Train step/sec ({label}, batch {tb}) | {fmt(key)} "
                     f"steps/s = {imgs_s:.0f} imgs/s"
-                    + (f" ≈ {mfu:.0f}% MFU" if on_tpu else "")
+                    + (f" ≈ {pct:.0f}{unit}" if on_tpu else "")
                     + " | ref GPU: baseline 2.49 s total |"
                 )
     for label in ("native", "pil"):

@@ -78,16 +78,24 @@ def preprocess_host_exact(
     same chain the device computes (ops/resize.py), so --host-preproc
     changes bytes-over-link, not numerics.
     """
+    if crop > resize:
+        # The resized short side is ``resize``, so a larger crop cannot be
+        # satisfied — the PIL fallback would silently return a smaller
+        # array (and the caller would then stretch it), breaking the
+        # "exact" promise. Fail loudly instead.
+        raise ValueError(
+            f"crop ({crop}) must be <= resize ({resize}) for the exact "
+            "host preprocessing chain"
+        )
     native = _native_decoder() if use_native else None
     if native is not None:
         out = native.resize_crop(arr, resize, crop)
         if out is not None:
             return out
+    from ssip_tpu.ops.resize import resize_target
+
     h0, w0 = arr.shape[:2]
-    if h0 <= w0:
-        th, tw = resize, max(1, int(w0 * resize / h0))
-    else:
-        th, tw = max(1, int(h0 * resize / w0)), resize
+    th, tw = resize_target(h0, w0, resize)
     if (h0, w0) != (th, tw):
         arr = np.asarray(Image.fromarray(arr).resize((tw, th), Image.BILINEAR))
         if arr.ndim == 2:
@@ -95,8 +103,7 @@ def preprocess_host_exact(
     # torchvision CenterCrop offset: round((size - crop) / 2)
     top = int(round((arr.shape[0] - crop) / 2.0))
     left = int(round((arr.shape[1] - crop) / 2.0))
-    return arr[max(top, 0) : max(top, 0) + crop,
-               max(left, 0) : max(left, 0) + crop]
+    return arr[top : top + crop, left : left + crop]
 
 
 def decode_batch(

@@ -218,13 +218,15 @@ def iter_streamed_decode_batches(
     ``ImageStore.gather``. Valid rows are compacted to the front of each
     fixed-shape batch and ``Batch.indices`` names them.
 
-    Throughput ("turbo") knobs — approximate, so parity-mode callers leave
-    them off: ``fast_scale`` decodes via DCT-domain scaling (libjpeg
-    scale_denom / PIL draft, ~3× faster); ``host_resize`` PIL-resizes any
-    row not already that size; ``host_crop`` center-crops on host so only
-    the network's crop ever crosses the host→device link (224²×3 uint8 is
-    5.3× fewer bytes than 512²×3 — decisive when the link, not the chip,
-    bounds e2e throughput).
+    Host-preprocessing knobs: ``fast_scale`` decodes via DCT-domain scaling
+    (libjpeg scale_denom / PIL draft, ~3× faster, approximate — parity-mode
+    callers leave it off). ``host_resize`` + ``host_crop`` must be set
+    TOGETHER (setting only one is ignored by ``decode_batch``): they run
+    the EXACT torchvision-semantics short-side-resize + center-crop chain
+    (``preprocess_host_exact``, bitwise what the device computes) inside
+    the decode workers, so only the network's crop ever crosses the
+    host→device link (224²×3 uint8 is 5.3× fewer bytes than 512²×3 —
+    decisive when the link, not the chip, bounds e2e throughput).
     """
     from PIL import Image
 

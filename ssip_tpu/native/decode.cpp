@@ -186,9 +186,13 @@ int ssip_jpeg_decode(const char* path, int scale_denom, unsigned char* out,
 // uint8 image from (h, w) to (th, tw), fused with a center crop — only the
 // output window [row0, row0+crop) × [col0, col0+crop) is computed. PIL's
 // pass order and per-pass uint8 quantization are preserved: horizontal
-// resample first (clip8 between passes), then vertical. Accumulation in
-// double, so results match the float32 device chain (ops/resize.py) to the
-// same <=1 LSB bound the PIL path carries. Returns 0 on success.
+// resample first (clip8 between passes), then vertical. Accumulation is
+// PIL's fixed-point integer scheme (weights quantized at kPrecisionBits,
+// long-long accumulator seeded at the rounding bias, clip8 shift-back) —
+// NOT floating point. That integer path is exactly what makes the output
+// BITWISE identical to PIL (the contract tests/test_native_decoder.py
+// enforces); do not "upgrade" it to double accumulation. Returns 0 on
+// success.
 int ssip_resize_crop_u8(const unsigned char* src, int h, int w, int th,
                         int tw, int row0, int col0, int crop,
                         unsigned char* out) {

@@ -121,10 +121,9 @@ def resize_crop(
     h, w = int(arr.shape[0]), int(arr.shape[1])
     if h <= 0 or w <= 0:
         return None
-    if h <= w:
-        th, tw = resize, max(1, int(w * resize / h))
-    else:
-        th, tw = max(1, int(h * resize / w)), resize
+    from ssip_tpu.ops.resize import resize_target
+
+    th, tw = resize_target(h, w, resize)
     row0 = int(round((th - crop) / 2.0))
     col0 = int(round((tw - crop) / 2.0))
     if row0 < 0 or col0 < 0:  # crop larger than resized image: PIL path

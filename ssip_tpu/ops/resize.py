@@ -83,6 +83,21 @@ def resize_bilinear(
     return x
 
 
+def resize_target(h: int, w: int, resize: int) -> tuple:
+    """torchvision Resize(n) output grid: short side → n, long side
+    int-TRUNCATED (``int(n * long / short)`` — torchvision
+    ``_compute_resized_output_size``; 427×640 @ 256 → 256×383, not 384).
+    ``round()`` here would shift the whole output grid 1px on
+    fractional-aspect inputs. Single source of truth for the device chain,
+    the host PIL fallback (data/decode.py), and the native fused kernel
+    (native/decoder.py) — keep all three on this helper so they cannot
+    drift.
+    """
+    if h <= w:
+        return resize, max(1, int(w * resize / h))
+    return max(1, int(h * resize / w)), resize
+
+
 def center_crop_bounds(size: int, crop: int) -> slice:
     """torchvision CenterCrop offset: round((size - crop) / 2)."""
     off = int(round((size - crop) / 2.0))
@@ -135,16 +150,13 @@ def extraction_preprocess(
     conversion* policy — callers feed already-RGB uint8; see
     data/decode.py for the channel policy).
     """
+    if crop > resize:
+        raise ValueError(
+            f"crop ({crop}) must be <= resize ({resize}): the resized "
+            "short side cannot satisfy a larger center crop"
+        )
     h, w = images_u8.shape[-3], images_u8.shape[-2]
-    # torchvision Resize(n) scales the SHORT side to n, preserving aspect;
-    # the long side TRUNCATES: int(n * long / short) — torchvision
-    # _compute_resized_output_size semantics (427×640 @ 256 → 256×383, not
-    # 384). round() here would shift the whole output grid 1px on
-    # fractional-aspect inputs.
-    if h <= w:
-        out_h, out_w = resize, max(1, int(w * resize / h))
-    else:
-        out_h, out_w = max(1, int(h * resize / w)), resize
+    out_h, out_w = resize_target(h, w, resize)
     x = resize_bilinear(
         images_u8,
         out_h,

@@ -102,6 +102,13 @@ class ExtractionConfig:
     # Mutually exclusive with fast_decode.
     host_preproc: bool = False
 
+    def __post_init__(self) -> None:
+        if self.crop > self.resize:
+            raise ValueError(
+                f"--crop ({self.crop}) must be <= --resize ({self.resize}): "
+                "the resized short side cannot satisfy a larger center crop"
+            )
+
 
 @dataclass
 class ExtractionSummary:
@@ -285,12 +292,31 @@ def nearest_neighbor_probe(
 _HOST_STAGE_BUDGET_BYTES = 4 * 1024**3
 
 
+def _header_shape(path: Path) -> Optional[tuple[int, int, int]]:
+    """Decoded shape of one image from its HEADER — no pixel decode.
+
+    ``Image.open`` is lazy: it reads only the metadata needed for
+    ``.size``/``.getbands()``, so probing a shape costs microseconds, not a
+    full decode. Matches what ``decode_image`` would produce: single-band
+    (grayscale) images are stacked to 3 channels there, so bands==1 → 3.
+    """
+    from PIL import Image
+
+    try:
+        with Image.open(path) as img:
+            w, h = img.size
+            bands = len(img.getbands())
+    except Exception:  # noqa: BLE001 — probe tolerates what decode tolerates
+        return None
+    return h, w, 3 if bands == 1 else bands
+
+
 def _probe_image_shape(paths: List[Path]) -> tuple[int, int, int]:
-    """Decode the first readable image to learn the corpus shape."""
+    """Shape of the first readable image (header read, no decode)."""
     for p in paths:
-        arr = try_decode_image(p)
-        if arr is not None:
-            return tuple(arr.shape)  # type: ignore[return-value]
+        shape = _header_shape(p)
+        if shape is not None:
+            return shape
     raise RuntimeError("All images failed to decode")
 
 
@@ -306,13 +332,18 @@ def _probe_majority_shape(
     bounded sample keeps the probe O(1) for huge corpora; corpora whose
     global majority differs from their leading-sample majority remain
     ambiguous by construction — both paths then resample the same rows.
+
+    Shapes come from image HEADERS (``_header_shape``) — decoding (and
+    discarding) the sample's pixels here would cost the 1-core host a full
+    extra batch of decode work per streamed run, all of it outside the
+    timed e2e span.
     """
     from collections import Counter
 
-    from ssip_tpu.data.decode import decode_batch
-
-    arrays, _ = decode_batch(paths[:sample_size], num_threads=num_threads)
-    shapes = [tuple(a.shape) for a in arrays if a is not None]
+    shapes = [
+        s for s in (_header_shape(p) for p in paths[:sample_size])
+        if s is not None
+    ]
     if not shapes:
         # fall back to scanning past an all-failed leading sample
         return _probe_image_shape(paths[sample_size:])

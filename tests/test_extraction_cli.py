@@ -265,3 +265,40 @@ def test_extraction_deterministic(tiny_image_tree, tmp_path):
     s1 = run_extraction(ExtractionConfig(output_dir=tmp_path / "o1", **cfg))
     s2 = run_extraction(ExtractionConfig(output_dir=tmp_path / "o2", **cfg))
     np.testing.assert_array_equal(s1.embeddings, s2.embeddings)
+
+
+def test_crop_larger_than_resize_rejected(tmp_path):
+    """crop > resize cannot be satisfied by the short-side-resize chain;
+    it must fail loudly at config time (and in the host chain) instead of
+    silently producing geometry-distorted 'exact' inputs."""
+    import pytest
+
+    from ssip_tpu.data.decode import preprocess_host_exact
+    from ssip_tpu.pipelines.extraction import ExtractionConfig
+
+    with pytest.raises(ValueError, match="crop"):
+        ExtractionConfig(data_dir=tmp_path, resize=224, crop=256)
+    arr = np.zeros((300, 400, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="crop"):
+        preprocess_host_exact(arr, resize=224, crop=256)
+
+
+def test_header_shape_matches_decoded_shape(tmp_path):
+    """_header_shape (no pixel decode) must agree with what decode_image
+    produces, including the grayscale→3-channel stacking."""
+    from PIL import Image
+
+    from ssip_tpu.data.decode import decode_image
+    from ssip_tpu.pipelines.extraction import _header_shape
+
+    gen = np.random.default_rng(0)
+    rgb = tmp_path / "rgb.jpg"
+    Image.fromarray(gen.integers(0, 255, (48, 64, 3), dtype=np.uint8)).save(rgb)
+    gray = tmp_path / "gray.png"
+    Image.fromarray(gen.integers(0, 255, (32, 40), dtype=np.uint8)).save(gray)
+    corrupt = tmp_path / "corrupt.jpg"
+    corrupt.write_bytes(b"not an image")
+
+    for p in (rgb, gray):
+        assert _header_shape(p) == decode_image(p).shape
+    assert _header_shape(corrupt) is None
