@@ -168,6 +168,22 @@ def main() -> None:
             jnp.float32,
             max(LO + 1, HI // 2),
         )
+        # int8 post-training quantization (models/quantized.py): the MXU's
+        # s8×s8→s32 mode — max-throughput approximate mode.
+        from ssip_tpu.models.quantized import (
+            make_quantized_apply,
+            quantize_extractor,
+        )
+
+        calib = (
+            preprocess_images_pallas(batches[0], out_dtype=jnp.float32)
+            if on_tpu
+            else extraction_preprocess(batches[0], dtype=jnp.float32)
+        )
+        qtree = jax.device_put(quantize_extractor(host_variables, calib))
+        embed_variant(
+            "int8_ptq", make_quantized_apply(), qtree, jnp.float32, HI
+        )
 
     # 3. train step/sec (fused epochs): f32 reference-parity mode and the
     #    bf16 throughput mode (--compute-dtype bfloat16; params/BN/loss f32)
@@ -295,6 +311,11 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
         lines.append(
             f"| Embedding (f32 parity mode, on-chip) | "
             f"{fmt('embedding_f32_imgs_per_sec')} imgs/s/chip | — |"
+        )
+    if "embedding_int8_ptq_imgs_per_sec" in results:
+        lines.append(
+            f"| Embedding (int8 PTQ, max-throughput approximate mode) | "
+            f"{fmt('embedding_int8_ptq_imgs_per_sec')} imgs/s/chip | — |"
         )
     if "e2e_streamed_imgs_per_sec" in results:
         # --skip-e2e carries the previous run's e2e section forward; mark

@@ -30,7 +30,8 @@ def parse_args(argv=None) -> argparse.Namespace:
         "$SSIP_RESNET18_WEIGHTS or seeded random init",
     )
     parser.add_argument(
-        "--compute-dtype", choices=["float32", "bfloat16"], default="float32"
+        "--compute-dtype", choices=["float32", "bfloat16", "int8"],
+        default="float32"
     )
     parser.add_argument(
         "--arch", choices=["resnet18", "resnet34", "resnet50"],

@@ -68,7 +68,10 @@ class ExtractionConfig:
     crop: int = 224
     seed: int = 42
     neighbor_sample: int = 8
-    compute_dtype: str = "float32"  # "float32" | "bfloat16" (throughput mode)
+    # "float32" (parity) | "bfloat16" (throughput) | "int8" (max-throughput
+    # post-training quantization — models/quantized.py; approximate like
+    # bfloat16 but more so, accuracy envelope pinned in tests)
+    compute_dtype: str = "float32"
     # backbone (ssip_tpu.models.MODEL_FACTORIES key); the reference uses a
     # frozen resnet18 (feature_extraction.py:210-227), 34/50 are extras.
     arch: str = "resnet18"
@@ -103,6 +106,11 @@ class ExtractionConfig:
     host_preproc: bool = False
 
     def __post_init__(self) -> None:
+        if self.compute_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"compute_dtype must be float32|bfloat16|int8, got "
+                f"{self.compute_dtype!r}"
+            )
         if self.crop > self.resize:
             raise ValueError(
                 f"--crop ({self.crop}) must be <= --resize ({self.resize}): "
@@ -193,7 +201,23 @@ def _embed_fns(
     folded pytree from ``fold_resnet_extractor``.
     """
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
-    if fast:
+    if compute_dtype_name == "int8":
+        # Post-training-quantized forward (models/quantized.py): the
+        # ``variables`` argument is the int8 tree from
+        # ``quantize_extractor`` (built once per run with a real
+        # calibration batch — see _quantize_variables). The preprocess
+        # chain feeds it normalized f32; quantization happens inside.
+        from ssip_tpu.models.quantized import make_quantized_apply
+        from ssip_tpu.models.resnet import MODEL_STAGES
+
+        compute_dtype = jnp.float32
+        q_apply = make_quantized_apply(
+            stage_sizes=MODEL_STAGES[arch], bottleneck=arch == "resnet50"
+        )
+
+        def model_apply(variables, x):
+            return q_apply(variables, x)
+    elif fast:
         from ssip_tpu.models.inference import make_folded_apply
         from ssip_tpu.models.resnet import MODEL_STAGES
 
@@ -367,8 +391,63 @@ def _should_stream(cfg: ExtractionConfig, paths: List[Path], digest: str) -> boo
     return int(np.prod(shape)) * len(paths) > _HOST_STAGE_BUDGET_BYTES
 
 
+def _calibration_batch(
+    cfg: ExtractionConfig, paths: List[Path], sample_size: int = 32
+):
+    """Normalized f32 [n, crop, crop, 3] batch for int8 PTQ calibration.
+
+    Decodes the corpus's first ``sample_size`` readable images (sorted
+    discovery order → deterministic) through the EXACT host chain
+    (decode → short-side resize → center crop, bitwise the device chain),
+    then applies the ImageNet normalization on host. One-off cost of one
+    small decode batch, paid only in ``--compute-dtype int8`` runs.
+    """
+    from ssip_tpu.data.decode import decode_batch, preprocess_host_exact
+    from ssip_tpu.ops.resize import IMAGENET_MEAN, IMAGENET_STD
+
+    arrays, _ = decode_batch(
+        paths[:sample_size], num_threads=cfg.num_decode_threads
+    )
+    frames = [
+        preprocess_host_exact(a, cfg.resize, cfg.crop)
+        for a in arrays
+        if a is not None
+    ]
+    frames = [f for f in frames if f.shape == (cfg.crop, cfg.crop, 3)]
+    if not frames:
+        raise RuntimeError(
+            "int8 calibration failed: no decodable images in the corpus's "
+            f"first {sample_size} files"
+        )
+    x = np.stack(frames).astype(np.float32)
+    mean = 255.0 * np.asarray(IMAGENET_MEAN, np.float32)
+    inv_std = 1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))
+    return jnp.asarray((x - mean) * inv_std)
+
+
+def _quantize_variables(cfg: ExtractionConfig, variables, paths: List[Path]):
+    """variables → int8 PTQ tree (models/quantized.py) for this corpus."""
+    from ssip_tpu.models.quantized import quantize_extractor
+    from ssip_tpu.models.resnet import MODEL_STAGES
+
+    calib = _calibration_batch(cfg, paths)
+    LOGGER.info(
+        "int8 PTQ: calibrated activation scales on %d images", calib.shape[0]
+    )
+    return quantize_extractor(
+        variables,
+        calib,
+        stage_sizes=MODEL_STAGES[cfg.arch],
+        bottleneck=cfg.arch == "resnet50",
+    )
+
+
 def _prepare_inference(cfg: ExtractionConfig, variables):
-    """(fast?, pytree-to-pass): fold BN + s2d stem in bf16 throughput mode."""
+    """(fast?, pytree-to-pass): fold BN + s2d stem in bf16 throughput mode.
+
+    In int8 mode ``variables`` is already the quantized tree (built in
+    ``extract_embeddings``) and passes through untouched.
+    """
     fast = cfg.fast_inference and cfg.compute_dtype == "bfloat16"
     if fast:
         from ssip_tpu.models.inference import fold_resnet_extractor
@@ -510,6 +589,9 @@ def extract_embeddings(
 
     digest = compute_dataset_digest(records)
     paths = [r.absolute_path for r in records]
+    if cfg.compute_dtype == "int8":
+        variables = _quantize_variables(cfg, variables, paths)
+        weights_source += "+int8_ptq"
     if _should_stream(cfg, paths, digest):
         return _extract_streaming(
             records, cfg, variables, weights_source, mesh, sharding, devices
