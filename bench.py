@@ -139,6 +139,47 @@ def main() -> None:
     # cost the round its metric...
     print(headline, flush=True)
 
+    # Secondary: the int8 PTQ max-throughput mode (--compute-dtype int8,
+    # models/quantized.py — approximate, accuracy envelope pinned in
+    # tests/test_quantized.py). Stderr only; the headline stays the
+    # shipped default bf16 path.
+    if on_tpu and os.environ.get("SSIP_BENCH_INT8", "1") == "1":
+        try:
+            from ssip_tpu.models.quantized import (
+                make_quantized_apply,
+                quantize_extractor,
+            )
+
+            calib = preprocess_images_pallas(
+                batches[0], out_dtype=jnp.float32
+            )
+            qtree = jax.device_put(quantize_extractor(variables, calib))
+            q_apply = make_quantized_apply(stem_prequantized=True)
+
+            @partial(jax.jit, static_argnames="reps")
+            def embed_int8(batches, qtree, reps):
+                def one_pass(_, acc):
+                    def step(c, u8):
+                        xq = preprocess_images_pallas(
+                            u8,
+                            quant_inv_scale=qtree["stem"]["inv_in_scale"],
+                        )
+                        return c + jnp.sum(q_apply(qtree, xq)), None
+                    c, _ = jax.lax.scan(step, acc, batches)
+                    return c
+                return jax.lax.fori_loop(0, reps, one_pass, jnp.float32(0.0))
+
+            r = measure_rate(
+                lambda reps: embed_int8(batches, qtree, reps),
+                LO, HI, items_per_rep=N_BATCHES * BATCH,
+            )
+            log(
+                f"int8 PTQ mode (--compute-dtype int8, approximate): "
+                f"{r} imgs/s = {r.median / value:.2f}x the bf16 headline"
+            )
+        except Exception as exc:  # diagnostics only
+            log(f"int8 bench failed: {exc}")
+
     # True cold end-to-end extraction rate (reference-comparable 359 imgs/s):
     # disk → decode → H2D → embed through the real pipeline, all four shapes,
     # median-of-3 per shape with the per-window link bandwidth and spread.

@@ -118,11 +118,15 @@ def main() -> None:
         ResNet18(num_classes=None), 42, (1, 224, 224, 3)
     )
 
-    def embed_variant(name, apply_fn, tree, dtype, hi):
+    def embed_variant(name, apply_fn, tree, dtype, hi, raw=False):
+        # raw=True: apply_fn(tree, u8) owns its whole step (used by the
+        # int8 path whose preproc kernel fuses the quantization).
         @partial(jax.jit, static_argnames="reps")
         def embed_loop(batches, tree, reps):
             def body(_, acc):
                 def step(c, u8):
+                    if raw:
+                        return c + jnp.sum(apply_fn(tree, u8)), None
                     x = (
                         preprocess_images_pallas(u8, out_dtype=dtype)
                         if on_tpu
@@ -181,8 +185,21 @@ def main() -> None:
             else extraction_preprocess(batches[0], dtype=jnp.float32)
         )
         qtree = jax.device_put(quantize_extractor(host_variables, calib))
+        q_apply = make_quantized_apply()
+        q_apply_pre = make_quantized_apply(stem_prequantized=True)
+
+        def int8_step(tree, u8):
+            if on_tpu:  # fused quantizing preproc kernel (what ships)
+                xq = preprocess_images_pallas(
+                    u8, quant_inv_scale=tree["stem"]["inv_in_scale"]
+                )
+                return q_apply_pre(tree, xq)
+            return q_apply(
+                tree, extraction_preprocess(u8, dtype=jnp.float32)
+            )
+
         embed_variant(
-            "int8_ptq", make_quantized_apply(), qtree, jnp.float32, HI
+            "int8_ptq", int8_step, qtree, jnp.float32, HI, raw=True
         )
 
     # 3. train step/sec (fused epochs): f32 reference-parity mode and the

@@ -201,6 +201,7 @@ def make_quantized_apply(
     stage_sizes: Sequence[int] = RESNET18_STAGES,
     bottleneck: bool = False,
     inter_dtype: Any = jnp.bfloat16,
+    stem_prequantized: bool = False,
 ) -> Callable[[Dict[str, Any], jax.Array], jax.Array]:
     """apply(qtree, x_normalized_nhwc) → pooled features [B, D] f32.
 
@@ -212,6 +213,10 @@ def make_quantized_apply(
     quantize/dequant passes — measured on v5e they, not the convs, bound
     this path — at the cost of bf16 rounding the bf16 *baseline* already
     carries; pass f32 for the most accurate variant.
+
+    ``stem_prequantized``: the input is ALREADY the stem's int8 operand
+    (quantized with ``stem.inv_in_scale`` upstream — the fused Pallas
+    preproc epilogue does this on TPU, skipping one f32 HBM round-trip).
     """
     strides = _block_strides(stage_sizes)
 
@@ -220,7 +225,8 @@ def make_quantized_apply(
 
     def apply(qtree: Dict[str, Any], x: jax.Array) -> jax.Array:
         stem = qtree["stem"]
-        x = _qconv(_quant(x, stem["inv_in_scale"]), stem, 2, ((3, 3), (3, 3)))
+        x_q = x if stem_prequantized else _quant(x, stem["inv_in_scale"])
+        x = _qconv(x_q, stem, 2, ((3, 3), (3, 3)))
         x = _deq(nn.relu(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

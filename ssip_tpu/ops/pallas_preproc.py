@@ -62,18 +62,52 @@ def _preproc_kernel(img_ref, wv_ref, wht_ref, out_ref, *, out_dtype):
         out_ref[0, c] = ((y - off) * sc).astype(out_dtype)
 
 
-@partial(jax.jit, static_argnames=("resize", "crop", "out_dtype"))
+def _preproc_quant_kernel(img_ref, wv_ref, wht_ref, inv_scale_ref, out_ref):
+    """``_preproc_kernel`` + fused int8 activation quantization.
+
+    Epilogue for the int8 PTQ embed path (models/quantized.py): the
+    normalized f32 value quantizes with the stem conv's input scale
+    (``clip(round(x·inv_s), ±127)``) INSIDE the kernel, so the [crop²×3]
+    f32 tensor never round-trips HBM between preproc and the stem
+    quantize pass — the output is the stem's int8 operand directly.
+    Bit-identical to ``_quant(xla_preprocess(u8), inv_s)``
+    (tests/test_quantized.py, interpret mode).
+    """
+    wv = wv_ref[:]
+    wht = wht_ref[:]
+    inv_s = inv_scale_ref[0]
+    for c in range(3):
+        x = img_ref[0, c].astype(jnp.int32).astype(jnp.float32)
+        t = jnp.dot(x, wht, preferred_element_type=jnp.float32)
+        t = jnp.clip(jnp.floor(t + 0.5), 0.0, 255.0)
+        y = jnp.dot(wv, t, preferred_element_type=jnp.float32)
+        y = jnp.clip(jnp.floor(y + 0.5), 0.0, 255.0)
+        off = np.float32(255.0 * float(IMAGENET_MEAN[c]))
+        sc = np.float32(1.0 / (255.0 * float(IMAGENET_STD[c])))
+        v = (y - off) * sc
+        out_ref[0, c] = jnp.clip(
+            jnp.round(v * inv_s), -127.0, 127.0
+        ).astype(jnp.int8)
+
+
+@partial(
+    jax.jit, static_argnames=("resize", "crop", "out_dtype", "interpret")
+)
 def preprocess_images_pallas(
     images_u8: jax.Array,
     resize: int = 256,
     crop: int = 224,
     out_dtype=jnp.float32,
+    quant_inv_scale: jax.Array | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Fused extraction preprocess for a batch of NHWC uint8 images.
 
     Returns normalized NHWC ``out_dtype`` tensors of shape [B, crop, crop, 3].
     Requires square inputs (the MRI corpus is 512×512; non-square images take
-    the XLA fallback in ``ops.resize``).
+    the XLA fallback in ``ops.resize``). With ``quant_inv_scale`` (a scalar
+    f32 array) the output is instead int8 quantized activations for the PTQ
+    embed path (``out_dtype`` is ignored).
     """
     b, h, w, c = images_u8.shape
     if c != 3 or h != w:
@@ -84,15 +118,30 @@ def preprocess_images_pallas(
 
     x = jnp.transpose(images_u8, (0, 3, 1, 2))  # NHWC → NCHW
 
+    in_specs = [
+        pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((crop, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w, crop), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if quant_inv_scale is not None:
+        kernel = _preproc_quant_kernel
+        out_dtype = jnp.int8
+        in_specs.append(
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+        )
+        operands = (
+            x, jnp.asarray(wv), jnp.asarray(wht),
+            jnp.reshape(quant_inv_scale, (1,)).astype(jnp.float32),
+        )
+    else:
+        kernel = partial(_preproc_kernel, out_dtype=out_dtype)
+        operands = (x, jnp.asarray(wv), jnp.asarray(wht))
+
     out = pl.pallas_call(
-        partial(_preproc_kernel, out_dtype=out_dtype),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, 3, crop, crop), out_dtype),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((crop, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, crop), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 3, crop, crop), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -101,6 +150,7 @@ def preprocess_images_pallas(
             bytes_accessed=b * (3 * h * w + 3 * crop * crop * 4),
             transcendentals=0,
         ),
-    )(x, jnp.asarray(wv), jnp.asarray(wht))
+        interpret=interpret,
+    )(*operands)
 
     return jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC

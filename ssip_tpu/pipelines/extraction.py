@@ -217,6 +217,23 @@ def _embed_fns(
 
         def model_apply(variables, x):
             return q_apply(variables, x)
+
+        if use_pallas:
+            # Fuse the stem-input quantization into the preproc kernel's
+            # epilogue: it emits the stem's int8 operand directly, skipping
+            # one [crop², 3] f32 HBM round-trip per image.
+            q_apply_pre = make_quantized_apply(
+                stage_sizes=MODEL_STAGES[arch],
+                bottleneck=arch == "resnet50",
+                stem_prequantized=True,
+            )
+
+            def full_step(variables, u8):
+                x_q8 = preprocess_images_pallas(
+                    u8, resize=resize, crop=crop,
+                    quant_inv_scale=variables["stem"]["inv_in_scale"],
+                )
+                return q_apply_pre(variables, x_q8)
     elif fast:
         from ssip_tpu.models.inference import make_folded_apply
         from ssip_tpu.models.resnet import MODEL_STAGES
@@ -242,19 +259,21 @@ def _embed_fns(
             )
         return extraction_preprocess(u8, resize=resize, crop=crop, dtype=compute_dtype)
 
+    if "full_step" not in locals():
+        def full_step(variables, u8):
+            return model_apply(variables, preprocess(u8))
+
     @partial(jax.jit, static_argnames=("steps", "batch"))
     def embed_corpus(images: jax.Array, variables, steps: int, batch: int) -> jax.Array:
         batched = images.reshape(steps, batch, *images.shape[1:])
 
         def body(_, u8):
-            return None, model_apply(variables, preprocess(u8))
+            return None, full_step(variables, u8)
 
         _, feats = jax.lax.scan(body, None, batched)
         return feats.reshape(steps * batch, -1)
 
-    embed_step = jax.jit(
-        lambda u8, variables: model_apply(variables, preprocess(u8))
-    )
+    embed_step = jax.jit(lambda u8, variables: full_step(variables, u8))
     return embed_corpus, embed_step
 
 

@@ -126,3 +126,24 @@ def test_int8_extraction_end_to_end(tiny_image_tree, tmp_path):
     assert q.embeddings.shape == f32.embeddings.shape
     cos = _cosine(f32.embeddings, q.embeddings)
     assert np.all(cos > 0.99), cos.min()
+
+
+def test_fused_quant_preproc_kernel_matches_xla(tmp_path):
+    """Pallas preproc + fused int8 quantization epilogue (interpret mode)
+    == quantizing the XLA preprocess output — bit-identical int8."""
+    from ssip_tpu.models.quantized import _quant
+    from ssip_tpu.ops.pallas_preproc import preprocess_images_pallas
+    from ssip_tpu.ops.resize import extraction_preprocess
+
+    rng = np.random.default_rng(5)
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8))
+    inv_s = jnp.float32(127.0 / 2.7)
+    want = _quant(
+        extraction_preprocess(u8, resize=40, crop=32, dtype=jnp.float32),
+        inv_s,
+    )
+    got = preprocess_images_pallas(
+        u8, resize=40, crop=32, quant_inv_scale=inv_s, interpret=True
+    )
+    assert got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
