@@ -90,14 +90,20 @@ def main() -> None:
     parser.add_argument("--n-batches", type=int, default=8)
     parser.add_argument("--passes", type=int, default=8)
     parser.add_argument(
+        "--int8", action="store_true",
+        help="profile the int8 PTQ path (fused quantizing preproc + "
+        "quantized forward) instead of the bf16 default",
+    )
+    parser.add_argument(
         "--parse-only", action="store_true",
         help="skip tracing; re-summarize the latest trace on disk",
     )
     parser.add_argument("--output-dir", type=Path, default=REPO / "outputs")
     args = parser.parse_args()
+    tag = "embed_int8" if args.int8 else "embed_bf16"
 
     if args.parse_only:
-        profile_dir = args.output_dir / "profile" / "embed_bf16"
+        profile_dir = args.output_dir / "profile" / tag
         # The image count must come from the run that PRODUCED the trace,
         # not from this invocation's flags (a default-flag --parse-only of
         # a --batch 64 trace would otherwise inflate imgs/s 2×).
@@ -138,18 +144,47 @@ def main() -> None:
     jax.block_until_ready(batches)
 
     model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
-    variables = jax.device_put(seeded_init_host(model, 42, (1, 224, 224, 3)))
+    host_variables = seeded_init_host(model, 42, (1, 224, 224, 3))
+    variables = jax.device_put(host_variables)
+
+    if args.int8:
+        from ssip_tpu.models.quantized import (
+            make_quantized_apply,
+            quantize_extractor,
+        )
+
+        calib = (
+            preprocess_images_pallas(batches[0], out_dtype=jnp.float32)
+            if on_tpu
+            else extraction_preprocess(batches[0], dtype=jnp.float32)
+        )
+        variables = jax.device_put(quantize_extractor(host_variables, calib))
+        q_apply_pre = make_quantized_apply(stem_prequantized=True)
+        q_apply = make_quantized_apply()
+
+        def full_step(tree, u8):
+            if on_tpu:
+                xq = preprocess_images_pallas(
+                    u8, quant_inv_scale=tree["stem"]["inv_in_scale"]
+                )
+                return q_apply_pre(tree, xq)
+            return q_apply(
+                tree, extraction_preprocess(u8, dtype=jnp.float32)
+            )
+    else:
+        def full_step(tree, u8):
+            x = (
+                preprocess_images_pallas(u8, out_dtype=jnp.bfloat16)
+                if on_tpu
+                else extraction_preprocess(u8, dtype=jnp.bfloat16)
+            )
+            return model.apply(tree, x, train=False)
 
     @partial(jax.jit, static_argnames="reps")
     def embed_all(batches, variables, reps):
         def one_pass(_, acc):
             def step(c, u8):
-                x = (
-                    preprocess_images_pallas(u8, out_dtype=jnp.bfloat16)
-                    if on_tpu
-                    else extraction_preprocess(u8, dtype=jnp.bfloat16)
-                )
-                return c + jnp.sum(model.apply(variables, x, train=False)), None
+                return c + jnp.sum(full_step(variables, u8)), None
             c, _ = jax.lax.scan(step, acc, batches)
             return c
         return jax.lax.fori_loop(0, reps, one_pass, jnp.float32(0.0))
@@ -159,7 +194,7 @@ def main() -> None:
 
     import time
 
-    profile_dir = args.output_dir / "profile" / "embed_bf16"
+    profile_dir = args.output_dir / "profile" / tag
     profile_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
     with jax.profiler.trace(str(profile_dir), create_perfetto_trace=True):
@@ -186,7 +221,8 @@ def summarize(args, profile_dir: Path, imgs: int, wall: float) -> None:
 
     device_imgs_per_sec = imgs / (total / 1e6)
     lines = [
-        "# Embed-path profile (bf16, batch %d)" % args.batch,
+        "# Embed-path profile (%s, batch %d)"
+        % ("int8 PTQ" if getattr(args, "int8", False) else "bf16", args.batch),
         "",
         f"Traced `{traces[-1].relative_to(args.output_dir)}` — "
         f"{imgs} images; device busy time {total / 1e3:.0f} ms "
@@ -221,7 +257,11 @@ def summarize(args, profile_dir: Path, imgs: int, wall: float) -> None:
             f"| {gbps:.0f} |"
         )
     lines.append("")
-    out_md = args.output_dir / "notes" / "profile_embed.md"
+    out_md = args.output_dir / "notes" / (
+        "profile_embed_int8.md"
+        if getattr(args, "int8", False)
+        else "profile_embed.md"
+    )
     out_md.parent.mkdir(parents=True, exist_ok=True)
     out_md.write_text("\n".join(lines))
     print(f"wrote {out_md}")
