@@ -827,8 +827,10 @@ def save_artifacts(
 
 
 def run_extraction(cfg: ExtractionConfig) -> ExtractionSummary:
+    from ssip_tpu.runtime.device import force_cpu_platform_if_requested
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
+    force_cpu_platform_if_requested(cfg.device)
     setup_jax()
     reg = ArtifactRegistry(Path(cfg.output_dir))
     reg.logs_dir.mkdir(parents=True, exist_ok=True)

@@ -141,8 +141,10 @@ def _threshold_and_eval(
 
 
 def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
+    from ssip_tpu.runtime.device import force_cpu_platform_if_requested
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
+    force_cpu_platform_if_requested(config.device)
     setup_jax()
     reg = config.artifacts
     if config.weak_data_dir is None:

@@ -93,8 +93,10 @@ def run_sharded_extraction(
     cfg: ExtractionConfig, shard_size: int = 512
 ) -> ExtractionSummary:
     """Resumable extraction; same artifact set as ``run_extraction``."""
+    from ssip_tpu.runtime.device import force_cpu_platform_if_requested
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
+    force_cpu_platform_if_requested(cfg.device)
     setup_jax()
     records = discover_image_records(Path(cfg.data_dir))
     digest = compute_dataset_digest(records)

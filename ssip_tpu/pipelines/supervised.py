@@ -93,8 +93,10 @@ def prepare_datasets(
 
 
 def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
+    from ssip_tpu.runtime.device import force_cpu_platform_if_requested
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
+    force_cpu_platform_if_requested(config.device)
     setup_jax()
     reg = config.artifacts
 

@@ -72,8 +72,10 @@ def load_arch(history_path: Path) -> str:
 
 
 def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
+    from ssip_tpu.runtime.device import force_cpu_platform_if_requested
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
+    force_cpu_platform_if_requested(cfg.device)
     setup_jax()
     reg = TrainingConfig(
         strong_data_dir=cfg.strong_data_dir, output_dir=cfg.output_dir
