@@ -66,7 +66,44 @@ def load_real_batches(n_batches: int, batch: int):
     return rng.integers(0, 256, (n_batches, batch, 512, 512, 3), dtype=np.uint8)
 
 
+def _tpu_backend_is_healthy(timeout_s: float = 240.0) -> bool:
+    """Probe backend discovery in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel can wedge so badly that ``jax.devices()`` (plugin
+    discovery, C-level) hangs forever and cannot be interrupted in-process
+    — which would leave the driver's bench slot empty (round-2's null all
+    over again). A throwaway subprocess probe hangs instead of us; on
+    failure the bench falls back to the CPU backend and still prints a
+    parseable (if slow) headline, with the reason on stderr.
+    """
+    import subprocess
+
+    if os.environ.get("SSIP_BENCH_SKIP_TPU_PROBE") == "1":
+        return True
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def main() -> None:
+    if not _tpu_backend_is_healthy():
+        log(
+            "TPU backend discovery hung/failed (tunnel down?) — falling "
+            "back to the CPU backend so the headline stays parseable; "
+            "this number is NOT the chip rate"
+        )
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
     setup_jax()
@@ -85,12 +122,14 @@ def main() -> None:
     # batch 128 is the measured optimum on v5e for this model (full-window
     # differenced sweep: 64->24.4k, 128->33.0k, 192->26.0k, 256->31.0k,
     # 512->28.6k imgs/s) — smaller early-layer activations tile better.
-    BATCH = int(os.environ.get("SSIP_BENCH_BATCH", "128"))
-    N_BATCHES = int(os.environ.get("SSIP_BENCH_NBATCHES", "8"))
+    # The CPU defaults only matter on the degraded tunnel-down fallback
+    # path: tiny windows so the headline still lands within the timeout.
+    BATCH = int(os.environ.get("SSIP_BENCH_BATCH", "128" if on_tpu else "16"))
+    N_BATCHES = int(os.environ.get("SSIP_BENCH_NBATCHES", "8" if on_tpu else "2"))
     # ~2 s differenced window at the expected rate: (HI-LO) passes of
     # N_BATCHES*BATCH images each, vs 25-150 ms tunnel jitter per call.
-    LO = int(os.environ.get("SSIP_BENCH_LO", "2"))
-    HI = int(os.environ.get("SSIP_BENCH_HI", "50"))
+    LO = int(os.environ.get("SSIP_BENCH_LO", "2" if on_tpu else "1"))
+    HI = int(os.environ.get("SSIP_BENCH_HI", "50" if on_tpu else "3"))
 
     # The shipped bf16 throughput path: fused Pallas preproc + plain Flax
     # forward (what `src.feature_extraction --compute-dtype bfloat16` runs).
@@ -183,7 +222,7 @@ def main() -> None:
     # True cold end-to-end extraction rate (reference-comparable 359 imgs/s):
     # disk → decode → H2D → embed through the real pipeline, all four shapes,
     # median-of-3 per shape with the per-window link bandwidth and spread.
-    if os.environ.get("SSIP_BENCH_SKIP_E2E", "") != "1":
+    if on_tpu and os.environ.get("SSIP_BENCH_SKIP_E2E", "") != "1":
         try:
             from benchmarks.common import e2e_bottleneck
 

@@ -9,6 +9,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 D="${SSIP_DATA_DIR:-/root/reference/mri_dataset_brain_cancer_oc}"
+# SSIP_DEVICE=cpu forces every device-aware stage onto the host platform
+# (survives a downed TPU tunnel — see CLAUDE.md); empty = default (TPU).
+DEVFLAG=()
+if [[ -n "${SSIP_DEVICE:-}" ]]; then DEVFLAG=(--device "$SSIP_DEVICE"); fi
 
 stage() {
   local name="$1"; shift
@@ -21,7 +25,7 @@ stage() {
 }
 
 stage audit        python -m src.data_audit --data-dir "$D"
-stage extraction   python -m src.feature_extraction --data-dir "$D"
+stage extraction   python -m src.feature_extraction --data-dir "$D" ${DEVFLAG[@]+"${DEVFLAG[@]}"}
 stage standardize  python -m src.standardize_features
 stage clustering   python -m src.clustering \
   --features-npz outputs/features/standardized_features.npz \
@@ -30,15 +34,15 @@ stage cohort       python -m src.export_unlabeled_cohort \
   --method dbscan --output outputs/tables/unlabeled_cohort_dbscan.csv
 stage supervised   python -m src.supervised_training \
   --strong-data-dir "$D/avec_labels" \
-  --target-recall 0.98 --min-precision 0.60
+  --target-recall 0.98 --min-precision 0.60 ${DEVFLAG[@]+"${DEVFLAG[@]}"}
 stage semi         python -m src.semi_supervised_training \
   --strong-data-dir "$D/avec_labels" --weak-data-dir "$D/sans_label" \
   --unlabeled-cohort-csv outputs/tables/unlabeled_cohort_dbscan.csv \
-  --target-recall 0.98 --min-precision 0.60
+  --target-recall 0.98 --min-precision 0.60 ${DEVFLAG[@]+"${DEVFLAG[@]}"}
 stage sweep_base   python -m src.threshold_sweep \
-  --strong-data-dir "$D/avec_labels" --model baseline
+  --strong-data-dir "$D/avec_labels" --model baseline ${DEVFLAG[@]+"${DEVFLAG[@]}"}
 stage sweep_semi   python -m src.threshold_sweep \
-  --strong-data-dir "$D/avec_labels" --model semi
+  --strong-data-dir "$D/avec_labels" --model semi ${DEVFLAG[@]+"${DEVFLAG[@]}"}
 stage comparison   python scripts/generate_model_comparison.py
 stage reporting    python scripts/generate_reporting_assets.py
 stage readme       python scripts/generate_outputs_readme.py
