@@ -201,6 +201,7 @@ def _embed_fns(
     folded pytree from ``fold_resnet_extractor``.
     """
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    full_step = None  # set only by paths that own their whole step
     if compute_dtype_name == "int8":
         # Post-training-quantized forward (models/quantized.py): the
         # ``variables`` argument is the int8 tree from
@@ -259,7 +260,7 @@ def _embed_fns(
             )
         return extraction_preprocess(u8, resize=resize, crop=crop, dtype=compute_dtype)
 
-    if "full_step" not in locals():
+    if full_step is None:
         def full_step(variables, u8):
             return model_apply(variables, preprocess(u8))
 
