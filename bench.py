@@ -94,7 +94,14 @@ def _tpu_backend_is_healthy(timeout_s: float = 240.0) -> bool:
 
 
 def main() -> None:
-    if not _tpu_backend_is_healthy():
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
+        # Honor an explicit CPU request through the config (the env var
+        # alone is ineffective here — jax is pre-imported at interpreter
+        # startup; see CLAUDE.md) and skip the TPU health probe.
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    elif not _tpu_backend_is_healthy():
         log(
             "TPU backend discovery hung/failed (tunnel down?) — falling "
             "back to the CPU backend so the headline stays parseable; "
