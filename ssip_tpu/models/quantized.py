@@ -13,9 +13,13 @@ src/feature_extraction.py:210-227 — frozen backbone, no gradients):
 3. activations are quantized **per tensor** symmetric int8 at each conv
    input, with static scales calibrated from one batch of real data
    (max-|x| over the calibration batch, f32 forward);
-4. each conv site computes ``conv_s32(x_q, W_q) · (s_x·s_w) + b`` and the
-   network keeps f32 between sites (residual adds and ReLU in f32), so
-   only the MXU contraction itself is low-precision.
+4. each conv site computes ``conv_s32(x_q, W_q) · (s_x·s_w) + b``;
+   residual adds and ReLU run in f32, block-boundary activations
+   materialize as ``inter_dtype`` (bf16 default), and **intra-block
+   intermediates never leave int8** — the dequant-affine → ReLU →
+   next-site quantize chain is one fused s32→s8 epilogue (``_requant``),
+   so the tensor between two convs inside a block costs 1 byte/element
+   of HBM traffic instead of a bf16 round-trip plus a quantize pass.
 
 This is a **throughput mode, not a parity mode**: embeddings deviate from
 the f32 chain by quantization noise (bounded and measured — cosine
@@ -184,9 +188,9 @@ def _quant(x: jax.Array, inv_scale: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(x * inv_scale), -_QMAX, _QMAX).astype(jnp.int8)
 
 
-def _qconv(x_q: jax.Array, site: Dict[str, Any], stride: int, padding):
-    """s8×s8→s32 conv + f32 per-channel dequant affine."""
-    y32 = jax.lax.conv_general_dilated(
+def _qconv_raw(x_q: jax.Array, site: Dict[str, Any], stride: int, padding):
+    """s8×s8→s32 conv, no dequant — epilogue chosen by the caller."""
+    return jax.lax.conv_general_dilated(
         x_q,
         site["kernel"],
         window_strides=(stride, stride),
@@ -194,7 +198,25 @@ def _qconv(x_q: jax.Array, site: Dict[str, Any], stride: int, padding):
         dimension_numbers=_DIMS,
         preferred_element_type=jnp.int32,
     )
+
+
+def _qconv(x_q: jax.Array, site: Dict[str, Any], stride: int, padding):
+    """s8×s8→s32 conv + f32 per-channel dequant affine."""
+    y32 = _qconv_raw(x_q, site, stride, padding)
     return y32.astype(jnp.float32) * site["mult"] + site["bias"]
+
+
+def _requant(y32: jax.Array, site: Dict[str, Any], next_inv_scale: jax.Array):
+    """Fused dequant-affine → ReLU → next-site quantize, s32 in, s8 out.
+
+    One elementwise epilogue per intra-block intermediate instead of two
+    (dequant → inter_dtype HBM round-trip → quantize): the activation
+    between two conv sites that has no other consumer never materializes
+    wider than int8. Quantizing from the f32 affine (instead of from the
+    bf16 inter-site tensor) is strictly closer to the f32 oracle.
+    """
+    y = nn.relu(y32.astype(jnp.float32) * site["mult"] + site["bias"])
+    return jnp.clip(jnp.round(y * next_inv_scale), -_QMAX, _QMAX).astype(jnp.int8)
 
 
 def make_quantized_apply(
@@ -235,25 +257,24 @@ def make_quantized_apply(
             x_q = _quant(x, block["conv1"]["inv_in_scale"])
             identity = x
             if bottleneck:
-                y = _deq(nn.relu(_qconv(x_q, block["conv1"], 1, "VALID")))
-                y = _deq(nn.relu(
-                    _qconv(
-                        _quant(y, block["conv2"]["inv_in_scale"]),
-                        block["conv2"], stride, ((1, 1), (1, 1)),
-                    )
-                ))
-                y = _qconv(
-                    _quant(y, block["conv3"]["inv_in_scale"]),
-                    block["conv3"], 1, "VALID",
+                # intra-block intermediates have a single consumer (the next
+                # conv): requantize s32→s8 in one fusion, never touching HBM
+                # wider than int8.
+                h_q = _requant(
+                    _qconv_raw(x_q, block["conv1"], 1, "VALID"),
+                    block["conv1"], block["conv2"]["inv_in_scale"],
                 )
+                h_q = _requant(
+                    _qconv_raw(h_q, block["conv2"], stride, ((1, 1), (1, 1))),
+                    block["conv2"], block["conv3"]["inv_in_scale"],
+                )
+                y = _qconv(h_q, block["conv3"], 1, "VALID")
             else:
-                y = _deq(nn.relu(
-                    _qconv(x_q, block["conv1"], stride, ((1, 1), (1, 1)))
-                ))
-                y = _qconv(
-                    _quant(y, block["conv2"]["inv_in_scale"]),
-                    block["conv2"], 1, ((1, 1), (1, 1)),
+                h_q = _requant(
+                    _qconv_raw(x_q, block["conv1"], stride, ((1, 1), (1, 1))),
+                    block["conv1"], block["conv2"]["inv_in_scale"],
                 )
+                y = _qconv(h_q, block["conv2"], 1, ((1, 1), (1, 1)))
             if "downsample" in block:
                 identity = _qconv(x_q, block["downsample"], stride, "VALID")
             x = _deq(nn.relu(y + identity.astype(jnp.float32)))
