@@ -48,7 +48,19 @@ def main() -> None:
         "on-chip + train + decode numbers still run",
     )
     parser.add_argument("--output-dir", type=Path, default=REPO / "outputs")
+    parser.add_argument(
+        "--device", default="auto",
+        help="auto|cpu — cpu restricts backend discovery to the host "
+        "plugin BEFORE any backend touch, so the harness stays runnable "
+        "when the accelerator transport is down (same escape hatch as the "
+        "pipeline CLIs; the JAX_PLATFORMS env var alone is ineffective "
+        "when jax is pre-imported at interpreter startup)",
+    )
     args = parser.parse_args()
+
+    from ssip_tpu.runtime.device import force_cpu_platform_if_requested
+
+    force_cpu_platform_if_requested(args.device)
 
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
@@ -202,6 +214,47 @@ def main() -> None:
             "int8_ptq", int8_step, qtree, jnp.float32, HI, raw=True
         )
 
+        # ResNet-50 pair (bf16 vs int8 PTQ): the bottleneck 1×1 convs are
+        # HBM-bound, so int8 gains come from operand bytes — and the fused
+        # requantize epilogue (models/quantized.py) matters most here (two
+        # intra-block intermediates per block stay int8).
+        from ssip_tpu.models import ResNet50
+        from ssip_tpu.models.resnet import MODEL_STAGES
+
+        r50 = ResNet50(num_classes=None, compute_dtype=jnp.bfloat16)
+        r50_host = seeded_init_host(r50, 42, (1, 224, 224, 3))
+        embed_variant(
+            "bf16_r50",
+            lambda v, x: r50.apply(v, x, train=False),
+            jax.device_put(r50_host),
+            jnp.bfloat16,
+            max(LO + 1, HI // 2),
+        )
+        qtree50 = jax.device_put(quantize_extractor(
+            r50_host, calib, stage_sizes=MODEL_STAGES["resnet50"],
+            bottleneck=True,
+        ))
+        q50_pre = make_quantized_apply(
+            stage_sizes=MODEL_STAGES["resnet50"], bottleneck=True,
+            stem_prequantized=True,
+        )
+        q50 = make_quantized_apply(
+            stage_sizes=MODEL_STAGES["resnet50"], bottleneck=True
+        )
+
+        def int8_step_r50(tree, u8):
+            if on_tpu:
+                xq = preprocess_images_pallas(
+                    u8, quant_inv_scale=tree["stem"]["inv_in_scale"]
+                )
+                return q50_pre(tree, xq)
+            return q50(tree, extraction_preprocess(u8, dtype=jnp.float32))
+
+        embed_variant(
+            "int8_ptq_r50", int8_step_r50, qtree50, jnp.float32,
+            max(LO + 1, HI // 2), raw=True,
+        )
+
     # 3. train step/sec (fused epochs): f32 reference-parity mode and the
     #    bf16 throughput mode (--compute-dtype bfloat16; params/BN/loss f32)
     from ssip_tpu.train.engine import TrainState, make_fused_epoch, make_optimizer
@@ -333,6 +386,16 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
         lines.append(
             f"| Embedding (int8 PTQ, max-throughput approximate mode) | "
             f"{fmt('embedding_int8_ptq_imgs_per_sec')} imgs/s/chip | — |"
+        )
+    if "embedding_bf16_r50_imgs_per_sec" in results:
+        lines.append(
+            f"| Embedding ResNet-50 (bf16) | "
+            f"{fmt('embedding_bf16_r50_imgs_per_sec')} imgs/s/chip | — |"
+        )
+    if "embedding_int8_ptq_r50_imgs_per_sec" in results:
+        lines.append(
+            f"| Embedding ResNet-50 (int8 PTQ) | "
+            f"{fmt('embedding_int8_ptq_r50_imgs_per_sec')} imgs/s/chip | — |"
         )
     if "e2e_streamed_imgs_per_sec" in results:
         # --skip-e2e carries the previous run's e2e section forward; mark
