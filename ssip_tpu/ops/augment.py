@@ -104,6 +104,146 @@ def _mxu_geometry(h: int, w: int, max_degrees: float):
     return yb, pt, r, hp
 
 
+def _mxu_geometry_blocked(h: int, w: int, max_degrees: float):
+    """Geometry for the column-blocked kernel: band both axes.
+
+    The unblocked kernel's one-hot contraction per [YB, W] output block is
+    [C·R, W] × [W, YB·W] — at 224² / ±10° that is ~4.3 GFLOP/image, 2.4×
+    the ResNet-18 forward itself, because the row band must span the whole
+    image width. Blocking the width too shrinks BOTH one-hot factors: an
+    output cell [YB, XB] only needs source rows spanning
+    sin·(XB−1)+(YB−1) and source columns spanning sin·(YB−1)+(XB−1) — the
+    contraction becomes [C·R2, CB] × [CB, YB·XB]. Total MXU tile-units per
+    image drop ~4× (cells × n2 is constant h·w, while K: W→CB and
+    M: C·R→C·R2 both shrink), and the one-hot build (VPU compares) shrinks
+    with them.
+
+    Returns (yb, xb, pt, px, r2, cb, hp, wp) or None when no usable column
+    block exists (then the caller falls back to the row-banded kernel).
+    """
+    sinm = math.sin(math.radians(max_degrees))
+    cosm = math.cos(math.radians(max_degrees))
+    yb = 16 if h % 16 == 0 else (8 if h % 8 == 0 else 0)
+    if yb == 0:
+        return None
+    # Largest column block that (a) actually blocks (u ≥ 2), (b) keeps the
+    # lane dim a multiple of 128, and (c) keeps the contraction dim within
+    # one 128-wide MXU pass.
+    for xb in range(w - 1, 7, -1):
+        if w % xb or (yb * xb) % 128:
+            continue
+        span_x = math.ceil(sinm * (yb - 1)) + (xb - 1) + 3
+        cb = ((span_x + 1 + 7) // 8) * 8
+        if cb <= 128:
+            break
+    else:
+        return None
+    span_y = math.ceil(sinm * (xb - 1)) + (yb - 1) + 3
+    r2 = ((span_y + 1 + 7) // 8) * 8
+    pt = math.ceil((sinm * (w - 1) + (1.0 - cosm) * (h - 1)) / 2.0) + 2
+    px = math.ceil((sinm * (h - 1) + (1.0 - cosm) * (w - 1)) / 2.0) + 2
+    hp = h + 2 * pt + r2  # band starts never need clamping (see unblocked)
+    wp = w + 2 * px + cb
+    return yb, xb, pt, px, r2, cb, hp, wp
+
+
+def _rotate_mxu_blocked(
+    images_u8: jnp.ndarray, iy, ix, valid, max_degrees: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Column-blocked variant of :func:`_rotate_mxu` (see geometry above).
+
+    Identical algorithm — slice a per-cell source band with one large-slice
+    gather, re-express the NN index map as one-hot matmuls — but the band
+    is 2-D: each [YB, XB] output cell reads a [R2, CB] source window, so
+    the MXU contraction is [C·R2, CB] × [CB, YB·XB] instead of spanning
+    the full image width. Bit-identical to the gather path for the same
+    reason (one-hot dots of uint8 values are exact in bf16); asserted by
+    tests/test_rotate_mxu.py against ``_rotate_gather``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = images_u8.shape
+    yb, xb, pt, px, r2, cb, hp, wp = _mxu_geometry_blocked(h, w, max_degrees)
+    t = h // yb
+    u = w // xb
+    n2 = yb * xb
+
+    # Per-cell local indices. Cell mins are over ALL pixels (valid or not):
+    # the affine span bound holds for every pixel, so out-of-range indices
+    # stay inside the band and land in zero padding (masked by ``valid``).
+    iyp = (iy + pt).reshape(b, t, yb, u, xb)
+    ixp = (ix + px).reshape(b, t, yb, u, xb)
+    cy0 = jnp.min(iyp, axis=(2, 4))  # [B, T, U] band starts
+    cx0 = jnp.min(ixp, axis=(2, 4))
+    cy0 = jnp.clip(cy0, 0, hp - r2)  # no-op given the margins; pure safety
+    cx0 = jnp.clip(cx0, 0, wp - cb)
+    e2 = iyp - cy0[:, :, None, :, None]  # [B,T,YB,U,XB] in [0, R2)
+    ex = ixp - cx0[:, :, None, :, None]  # in [0, CB)
+
+    padded = jnp.pad(
+        images_u8,
+        ((0, 0), (pt, hp - h - pt), (px, wp - w - px), (0, 0)),
+    )
+    src = padded.astype(jnp.bfloat16)
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None, None], (b, t, u))
+    starts = jnp.stack([bidx, cy0, cx0], axis=-1).reshape(-1, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+    bands = jax.lax.gather(
+        src, starts, dn, slice_sizes=(1, r2, cb, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(b, t, u, r2, cb, c)
+    band_t = bands.transpose(0, 1, 2, 5, 3, 4).reshape(b, t, u, c * r2, cb)
+    ex_cells = ex.transpose(0, 1, 3, 2, 4).reshape(b, t, u, 1, n2)
+    e2_cells = e2.transpose(0, 1, 3, 2, 4).reshape(b, t, u, 1, n2)
+
+    def kernel(ix_ref, e2_ref, band_ref, out_ref):
+        ix_row = ix_ref[0, 0, 0]  # [1, N2] — row vectors: broadcasts ride lanes
+        e2_row = e2_ref[0, 0, 0]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (cb, n2), 0)
+        c1h_t = (c_iota == ix_row).astype(jnp.bfloat16)  # [CB, N2]
+        step1 = jnp.dot(  # [cR2, N2] — the gather, as MXU work
+            band_ref[0, 0, 0], c1h_t, preferred_element_type=jnp.float32
+        )
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (r2, n2), 0)
+        r1h_t = (r_iota == e2_row).astype(jnp.float32)  # [R2, N2]
+        for ch in range(c):
+            masked = step1[ch * r2:(ch + 1) * r2, :] * r1h_t
+            out_ref[0, 0, 0, ch, :] = jnp.sum(masked, axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, t, u),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, n2), lambda bi, ti, ui: (bi, ti, ui, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, n2), lambda bi, ti, ui: (bi, ti, ui, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c * r2, cb), lambda bi, ti, ui: (bi, ti, ui, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, 8, n2), lambda bi, ti, ui: (bi, ti, ui, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, u, 8, n2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ex_cells, e2_cells, band_t)
+    g = (
+        out[:, :, :, :c, :]
+        .reshape(b, t, u, c, yb, xb)
+        .transpose(0, 1, 4, 2, 5, 3)
+        .reshape(b, h, w, c)
+    )
+    g = g.astype(jnp.uint8)
+    return jnp.where(valid[..., None], g, jnp.zeros_like(g))
+
+
 def _rotate_mxu(
     images_u8: jnp.ndarray, iy, ix, valid, max_degrees: float,
     interpret: bool = False,
@@ -235,6 +375,8 @@ def random_rotate_nearest(
     ) * (jnp.pi / 180.0)
     iy, ix, valid = _rotation_index_map(angles, h, w)
     if _use_mxu_rotation(images, max_degrees):
+        if _mxu_geometry_blocked(h, w, max_degrees) is not None:
+            return _rotate_mxu_blocked(images, iy, ix, valid, max_degrees)
         return _rotate_mxu(images, iy, ix, valid, max_degrees)
     return _rotate_gather(images, iy, ix, valid)
 

@@ -16,8 +16,10 @@ import pytest
 
 from ssip_tpu.ops.augment import (
     _mxu_geometry,
+    _mxu_geometry_blocked,
     _rotate_gather,
     _rotate_mxu,
+    _rotate_mxu_blocked,
     _rotation_index_map,
     _use_mxu_rotation,
 )
@@ -29,6 +31,7 @@ def _angles(key, b, max_degrees):
     ) * (jnp.pi / 180.0)
 
 
+@pytest.mark.parametrize("rotate", [_rotate_mxu, _rotate_mxu_blocked])
 @pytest.mark.parametrize(
     "shape,max_degrees",
     [
@@ -38,7 +41,7 @@ def _angles(key, b, max_degrees):
         ((1, 32, 128, 3), 2.0),
     ],
 )
-def test_mxu_matches_gather_bitwise(shape, max_degrees):
+def test_mxu_matches_gather_bitwise(shape, max_degrees, rotate):
     rng = np.random.default_rng(7)
     images = jnp.asarray(rng.integers(0, 256, shape, np.uint8))
     for seed in (0, 1, 2):
@@ -46,12 +49,13 @@ def test_mxu_matches_gather_bitwise(shape, max_degrees):
         iy, ix, valid = _rotation_index_map(angles, shape[1], shape[2])
         ref = np.asarray(_rotate_gather(images, iy, ix, valid))
         got = np.asarray(
-            _rotate_mxu(images, iy, ix, valid, max_degrees, interpret=True)
+            rotate(images, iy, ix, valid, max_degrees, interpret=True)
         )
         np.testing.assert_array_equal(got, ref)
 
 
-def test_mxu_extreme_angles_stay_in_band():
+@pytest.mark.parametrize("rotate", [_rotate_mxu, _rotate_mxu_blocked])
+def test_mxu_extreme_angles_stay_in_band(rotate):
     """Angles pinned at ±max_degrees — the worst case for the band margins."""
     shape = (2, 64, 96, 3)
     rng = np.random.default_rng(3)
@@ -61,7 +65,7 @@ def test_mxu_extreme_angles_stay_in_band():
         iy, ix, valid = _rotation_index_map(angles, shape[1], shape[2])
         ref = np.asarray(_rotate_gather(images, iy, ix, valid))
         got = np.asarray(
-            _rotate_mxu(images, iy, ix, valid, abs(deg), interpret=True)
+            rotate(images, iy, ix, valid, abs(deg), interpret=True)
         )
         np.testing.assert_array_equal(got, ref)
 
@@ -72,6 +76,21 @@ def test_geometry_margins():
     # band must cover the in-cell span with slack, and stay modest
     assert 56 <= r <= 80
     assert hp >= 224 + 2 * pt + r
+
+
+def test_geometry_blocked_margins():
+    g = _mxu_geometry_blocked(224, 224, 10.0)
+    assert g is not None
+    yb, xb, pt, px, r2, cb, hp, wp = g
+    assert yb == 16 and 224 % xb == 0 and xb < 224
+    assert (yb * xb) % 128 == 0  # lane dim stays 128-aligned
+    assert r2 % 8 == 0 and cb % 8 == 0 and cb <= 128  # one MXU K pass
+    assert hp >= 224 + 2 * pt + r2 and wp >= 224 + 2 * px + cb
+    # 2-D banding must beat the row band on contraction size: K and M
+    yb1, _, r1, _ = _mxu_geometry(224, 224, 10.0)
+    assert cb < 224 and r2 <= r1
+    # widths with no 128-aligned divisor fall back to the row-banded kernel
+    assert _mxu_geometry_blocked(64, 36, 10.0) is None
 
 
 def test_gate_rejects_unsupported():
