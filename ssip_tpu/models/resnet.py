@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ssip_tpu.ops.pool import stem_max_pool
+
 # torchvision BasicBlock stage widths for resnet18/34.
 RESNET18_STAGES: tuple[int, ...] = (2, 2, 2, 2)
 RESNET34_STAGES: tuple[int, ...] = (3, 4, 6, 3)
@@ -231,10 +233,16 @@ class ResNet(nn.Module):
             x, use_running_average=not train, mask=mask
         )
         x = nn.relu(x)
-        # torch MaxPool2d(3, stride=2, padding=1) pads with -inf.
-        x = nn.max_pool(
-            x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
-        )
+        # torch MaxPool2d(3, stride=2, padding=1) pads with -inf. Training
+        # uses the fusion-friendly backward (ops/pool.py) — bit-identical
+        # values and gradient routing, no SelectAndScatter; inference keeps
+        # the stock reduce_window forward.
+        if train:
+            x = stem_max_pool(x)
+        else:
+            x = nn.max_pool(
+                x, window_shape=(3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
 
         block_cls = Bottleneck if self.bottleneck else BasicBlock
         for stage, num_blocks in enumerate(self.stage_sizes):
