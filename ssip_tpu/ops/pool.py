@@ -114,11 +114,21 @@ def max_pool_stem(x: jnp.ndarray) -> jnp.ndarray:
     return _pool(x, (tuple(x.shape), x.dtype))
 
 
+# Tests may set this to True/False to override the backend gate (the custom
+# backward normally runs only on TPU, so CPU integration tests force it on).
+_FORCE_CUSTOM: bool | None = None
+
+
 def stem_max_pool(x: jnp.ndarray) -> jnp.ndarray:
     """Dispatch: fusion-friendly backward on TPU, stock XLA elsewhere."""
     import flax.linen as nn
 
-    if jax.default_backend() == "tpu":
+    use_custom = (
+        _FORCE_CUSTOM
+        if _FORCE_CUSTOM is not None
+        else jax.default_backend() == "tpu"
+    )
+    if use_custom:
         return max_pool_stem(x)
     return nn.max_pool(
         x, window_shape=(_WINDOW, _WINDOW), strides=(_STRIDE, _STRIDE),

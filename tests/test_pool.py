@@ -112,6 +112,47 @@ def test_gradient_bf16_cotangent():
     np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_ref))
 
 
+def test_full_train_step_with_custom_pool(monkeypatch):
+    """One real train step through the custom-backward pool (the TPU train
+    configuration, forced on CPU) matches the stock-pool step: same loss
+    bitwise (forward is bit-identical) and metrics/grads within addition-
+    order rounding."""
+    import ssip_tpu.ops.pool as pool_mod
+    from ssip_tpu.models import ResNet18
+    from ssip_tpu.models.host_init import seeded_init_host
+    from ssip_tpu.train.engine import TrainState, make_optimizer, make_train_step
+
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3), np.uint8))
+    labels = jnp.asarray([0, 1, 1, 0], jnp.int32)
+    valid = jnp.ones((4,), bool)
+    key = jax.random.PRNGKey(0)
+
+    model = ResNet18(num_classes=2)
+    variables = seeded_init_host(model, 0, (1, 64, 64, 3))
+
+    def run(force_custom):
+        monkeypatch.setattr(pool_mod, "_FORCE_CUSTOM", force_custom)
+        state = TrainState.create(
+            lambda *a, **k: model.apply(*a, **k),
+            jax.device_put(variables["params"]),
+            jax.device_put(variables["batch_stats"]),
+            make_optimizer(1e-3, 1e-4),
+        )
+        step = make_train_step(augment=True)
+        new_state, loss, preds = step(state, images, labels, valid, key)
+        return jax.device_get((new_state.params, loss, preds))
+
+    params_custom, loss_custom, preds_custom = run(True)
+    params_stock, loss_stock, preds_stock = run(False)
+    np.testing.assert_array_equal(loss_custom, loss_stock)
+    np.testing.assert_array_equal(preds_custom, preds_stock)
+    flat_c = jax.tree_util.tree_leaves(params_custom)
+    flat_s = jax.tree_util.tree_leaves(params_stock)
+    for c, s in zip(flat_c, flat_s):
+        np.testing.assert_allclose(c, s, rtol=2e-5, atol=1e-6)
+
+
 def test_jit_and_vmap_compose():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 3, 16, 16, 4)).astype(np.float32))
