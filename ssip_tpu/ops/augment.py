@@ -11,6 +11,7 @@ affine gather — batched, shape-static, PRNG-keyed per epoch.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -375,7 +376,8 @@ def random_rotate_nearest(
     ) * (jnp.pi / 180.0)
     iy, ix, valid = _rotation_index_map(angles, h, w)
     if _use_mxu_rotation(images, max_degrees):
-        if _mxu_geometry_blocked(h, w, max_degrees) is not None:
+        blocked_ok = os.environ.get("SSIP_ROTATE_BLOCKED", "1") != "0"
+        if blocked_ok and _mxu_geometry_blocked(h, w, max_degrees) is not None:
             return _rotate_mxu_blocked(images, iy, ix, valid, max_degrees)
         return _rotate_mxu(images, iy, ix, valid, max_degrees)
     return _rotate_gather(images, iy, ix, valid)

@@ -123,10 +123,15 @@ def stem_max_pool(x: jnp.ndarray) -> jnp.ndarray:
     """Dispatch: fusion-friendly backward on TPU, stock XLA elsewhere."""
     import flax.linen as nn
 
+    import os
+
     use_custom = (
         _FORCE_CUSTOM
         if _FORCE_CUSTOM is not None
-        else jax.default_backend() == "tpu"
+        else (
+            jax.default_backend() == "tpu"
+            and os.environ.get("SSIP_POOL_FUSED_BWD", "1") != "0"
+        )
     )
     if use_custom:
         return max_pool_stem(x)
