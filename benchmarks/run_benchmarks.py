@@ -269,7 +269,13 @@ def main() -> None:
     for dname, dtype in dtype_variants:
         model = ResNet18(num_classes=2, compute_dtype=dtype)
         variables = jax.device_put(host_cls_vars)
-        for tb in ((16, 64, 128, 256) if not args.quick else (16,)):
+        if args.quick:
+            train_batches = (16,)
+        elif on_tpu:
+            train_batches = (16, 64, 128, 256)
+        else:  # keep the CPU escape-hatch path runnable on one host core
+            train_batches = (16, 64)
+        for tb in train_batches:
             state = TrainState.create(
                 apply_fn=model.apply, params=variables["params"],
                 batch_stats=variables["batch_stats"], tx=make_optimizer(1e-4, 1e-4),

@@ -7,7 +7,7 @@ default JAX/XLA *backward* lowers to SelectAndScatter, which runs on the
 TPU's scalar path and held ~5% of the fused train step's device time in
 the round-3 profile (outputs/notes/profile_train.md).
 
-``max_pool_stem`` keeps the forward bit-identical to ``flax.linen.max_pool``
+``stem_max_pool`` keeps the forward bit-identical to ``flax.linen.max_pool``
 (it IS a window max over the same -inf-padded windows) while expressing the
 backward as nine masked interior-pads that XLA fuses into one elementwise
 loop — no SelectAndScatter:
@@ -109,8 +109,8 @@ def _bwd(static, amax, g):
 _pool.defvjp(_fwd, _bwd)
 
 
-def max_pool_stem(x: jnp.ndarray) -> jnp.ndarray:
-    """3×3 / stride-2 / pad-1 max pool, NHWC — torch MaxPool2d(3, 2, 1)."""
+def _max_pool_custom(x: jnp.ndarray) -> jnp.ndarray:
+    """The custom-backward pool, UNGATED — callers want ``stem_max_pool``."""
     return _pool(x, (tuple(x.shape), x.dtype))
 
 
@@ -121,9 +121,9 @@ _FORCE_CUSTOM: bool | None = None
 
 def stem_max_pool(x: jnp.ndarray) -> jnp.ndarray:
     """Dispatch: fusion-friendly backward on TPU, stock XLA elsewhere."""
-    import flax.linen as nn
-
     import os
+
+    import flax.linen as nn
 
     use_custom = (
         _FORCE_CUSTOM
@@ -134,7 +134,7 @@ def stem_max_pool(x: jnp.ndarray) -> jnp.ndarray:
         )
     )
     if use_custom:
-        return max_pool_stem(x)
+        return _max_pool_custom(x)
     return nn.max_pool(
         x, window_shape=(_WINDOW, _WINDOW), strides=(_STRIDE, _STRIDE),
         padding=[(_PAD, _PAD), (_PAD, _PAD)],

@@ -1,6 +1,6 @@
 """Fusion-friendly stem max-pool ≡ stock XLA max-pool, values AND gradients.
 
-``ssip_tpu.ops.pool.max_pool_stem`` replaces the SelectAndScatter backward
+``ssip_tpu.ops.pool._max_pool_custom`` replaces the SelectAndScatter backward
 with argmax-routed pads (TPU train path). Gradient routing must stay
 bit-identical to ``flax.linen.max_pool``'s autodiff — including on TIES,
 which are common in real inputs (the stem pools post-ReLU activations full
@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ssip_tpu.ops.pool import max_pool_stem
+from ssip_tpu.ops.pool import _max_pool_custom
 
 
 def _stock_pool(x):
@@ -36,7 +36,7 @@ def test_forward_bitwise(shape, dtype):
     x = jnp.asarray(
         np.maximum(rng.standard_normal(shape), 0.0).astype(np.float32)
     ).astype(dtype)
-    got = max_pool_stem(x)
+    got = _max_pool_custom(x)
     ref = _stock_pool(x)
     assert got.dtype == ref.dtype
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
@@ -58,7 +58,7 @@ def test_gradient_routing_bitwise(shape):
     x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     w = _pow2_cotangent(rng, np.asarray(_stock_pool(x)).shape)
 
-    g_got = jax.grad(lambda z: jnp.sum(max_pool_stem(z) * w))(x)
+    g_got = jax.grad(lambda z: jnp.sum(_max_pool_custom(z) * w))(x)
     g_ref = jax.grad(lambda z: jnp.sum(_stock_pool(z) * w))(x)
     np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_ref))
 
@@ -70,7 +70,7 @@ def test_gradient_close_random_cotangent(shape):
     x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     w = jnp.asarray(rng.standard_normal(
         np.asarray(_stock_pool(x)).shape).astype(np.float32))
-    g_got = jax.grad(lambda z: jnp.sum(max_pool_stem(z) * w))(x)
+    g_got = jax.grad(lambda z: jnp.sum(_max_pool_custom(z) * w))(x)
     g_ref = jax.grad(lambda z: jnp.sum(_stock_pool(z) * w))(x)
     # atol: a few f32 ulps at contribution magnitude — addition-order noise
     # where cancellation shrinks the sum (routing exactness is asserted by
@@ -90,7 +90,7 @@ def test_gradient_routing_ties():
     shape = (2, 32, 32, 4)
     x = jnp.asarray(rng.integers(0, 3, shape).astype(np.float32))
     w = jnp.asarray(rng.integers(-3, 4, (2, 16, 16, 4)).astype(np.float32))
-    g_got = jax.grad(lambda z: jnp.sum(max_pool_stem(z) * w))(x)
+    g_got = jax.grad(lambda z: jnp.sum(_max_pool_custom(z) * w))(x)
     g_ref = jax.grad(lambda z: jnp.sum(_stock_pool(z) * w))(x)
     np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_ref))
 
@@ -103,7 +103,7 @@ def test_gradient_bf16_cotangent():
     x = jnp.asarray(x32).astype(jnp.bfloat16)
     w = _pow2_cotangent(rng, (2, 8, 8, 8)).astype(jnp.bfloat16)
     g_got = jax.grad(
-        lambda z: jnp.sum((max_pool_stem(z) * w).astype(jnp.float32))
+        lambda z: jnp.sum((_max_pool_custom(z) * w).astype(jnp.float32))
     )(x)
     g_ref = jax.grad(
         lambda z: jnp.sum((_stock_pool(z) * w).astype(jnp.float32))
@@ -159,7 +159,7 @@ def test_jit_and_vmap_compose():
     w = jnp.ones((3, 8, 8, 4), jnp.float32)
 
     def loss(z):
-        return jnp.sum(max_pool_stem(z) * w)
+        return jnp.sum(_max_pool_custom(z) * w)
 
     g = jax.jit(jax.vmap(jax.grad(loss)))(x)
     g_ref = jax.jit(
