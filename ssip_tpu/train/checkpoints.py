@@ -69,11 +69,21 @@ def save_train_snapshot(path: Path, state, driver: Dict[str, Any]) -> None:
     truncated or state/driver-desynced pair (the preemption case resume
     exists for). One snapshot per training stream, overwritten every epoch.
 
-    Layout: magic, 8-byte big-endian driver-JSON length, driver JSON,
-    msgpack-serialized state tree.
+    ``SSIP_SNAPSHOT_FORMAT=orbax`` routes to the sharded orbax backend
+    (orbax_ckpt.py — per-shard writes, no single-host gather; the path
+    becomes a directory) with the same atomic-commit guarantee.
+
+    Layout (msgpack default): magic, 8-byte big-endian driver-JSON length,
+    driver JSON, msgpack-serialized state tree.
     """
     import json
     import os
+
+    if os.environ.get("SSIP_SNAPSHOT_FORMAT") == "orbax":
+        from ssip_tpu.train.orbax_ckpt import save_train_snapshot_orbax
+
+        save_train_snapshot_orbax(Path(path), state, driver)
+        return
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -93,11 +103,18 @@ def load_train_snapshot(path: Path, state_template) -> tuple[Any, Dict[str, Any]
     """Restore (TrainState, driver dict) from a snapshot onto a template.
 
     Raises on a missing/corrupt snapshot — callers that resume
-    opportunistically (train_model) treat that as 'no snapshot'.
+    opportunistically (train_model) treat that as 'no snapshot'. A snapshot
+    that is a DIRECTORY restores through the sharded orbax backend
+    regardless of ``SSIP_SNAPSHOT_FORMAT``, so switching formats between
+    runs cannot orphan a resume point.
     """
     import json
 
     path = Path(path)
+    if path.is_dir():
+        from ssip_tpu.train.orbax_ckpt import load_train_snapshot_orbax
+
+        return load_train_snapshot_orbax(path, state_template)
     raw = path.read_bytes()
     if raw.startswith(_SNAPSHOT_MAGIC):
         off = len(_SNAPSHOT_MAGIC)
