@@ -115,9 +115,23 @@ def roc_curve(y_true_bin: np.ndarray, y_prob: np.ndarray):
     tps = np.r_[0, tps]
     fps = np.r_[0, fps]
     thr = np.r_[np.inf, thr]
-    p = max(int(y_true_bin.sum()), 1)
-    n = max(int((1 - y_true_bin).sum()), 1)
-    return fps / n, tps / p, thr
+    # Single-class degenerate inputs: the absent class's rate is undefined.
+    # sklearn returns an all-NaN curve with an explicit warning — a silently
+    # clamped all-zero curve would render as a plausible-looking but
+    # meaningless ROC figure (review r3).
+    p = int(y_true_bin.sum())
+    n = int((1 - y_true_bin).sum())
+    if p == 0 or n == 0:
+        import warnings
+
+        side = "positive" if p == 0 else "negative"
+        warnings.warn(
+            f"roc_curve: no {side} samples — the corresponding rate is NaN",
+            UserWarning,
+        )
+    fpr = fps / n if n else np.full(fps.shape, np.nan)
+    tpr = tps / p if p else np.full(tps.shape, np.nan)
+    return fpr, tpr, thr
 
 
 def average_precision(y_true_bin: np.ndarray, y_prob: np.ndarray) -> float:

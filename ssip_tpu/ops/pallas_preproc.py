@@ -112,6 +112,13 @@ def preprocess_images_pallas(
     b, h, w, c = images_u8.shape
     if c != 3 or h != w:
         raise ValueError(f"pallas preprocess expects square RGB NHWC, got {images_u8.shape}")
+    if crop > resize:  # same guard as the XLA sibling (ops/resize.py) — a
+        # negative-start weight slice would otherwise surface as an opaque
+        # BlockSpec shape mismatch deep in pallas tracing
+        raise ValueError(
+            f"crop ({crop}) must be <= resize ({resize}): the resized "
+            "short side cannot satisfy a larger center crop"
+        )
 
     wv = triangle_weights(h, resize)[center_crop_bounds(resize, crop)]  # [crop, H]
     wht = triangle_weights(w, resize)[center_crop_bounds(resize, crop)].T  # [W, crop]

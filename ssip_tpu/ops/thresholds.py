@@ -3,7 +3,7 @@
 Re-implements the decision layer of the reference (policy semantics:
 src/training/common.py:651-746; sweep: src/threshold_sweep.py:41-70) as one
 ``[T, N]`` broadcast instead of a Python loop over thresholds: every
-candidate threshold's confusion counts are computed in a single jnp pass, and
+candidate threshold's confusion counts are computed in a single f64 pass, and
 the 3-tier policy (constrained → F-beta fallback → recall-only → min
 threshold) reduces over the ``T`` axis.
 
@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 _EPS = 1e-12
@@ -36,44 +35,29 @@ def candidate_thresholds(y_prob: np.ndarray, include_one: bool = True) -> np.nda
 
 
 def stats_for_thresholds(
-    y_true_bin: jnp.ndarray, y_prob: jnp.ndarray, thresholds: jnp.ndarray
-) -> Dict[str, jnp.ndarray]:
-    """Confusion stats at every threshold in one [T, N] broadcast."""
-    yt = jnp.asarray(y_true_bin).astype(jnp.bool_)[None, :]            # [1, N]
-    pred = jnp.asarray(y_prob)[None, :] >= jnp.asarray(thresholds)[:, None]  # [T, N]
-    tp = jnp.sum(yt & pred, axis=1).astype(jnp.float32)
-    fp = jnp.sum(~yt & pred, axis=1).astype(jnp.float32)
-    fn = jnp.sum(yt & ~pred, axis=1).astype(jnp.float32)
-    tn = jnp.sum(~yt & ~pred, axis=1).astype(jnp.float32)
+    y_true_bin, y_prob, thresholds
+) -> Dict[str, np.ndarray]:
+    """Confusion stats at every threshold in one [T, N] broadcast.
 
-    def safe(num, den):
-        return jnp.where(den > 0, num / jnp.where(den > 0, den, 1), 0.0)
-
-    recall = safe(tp, tp + fn)
-    precision = safe(tp, tp + fp)
-    fpr = safe(fp, fp + tn)
-    tnr = safe(tn, tn + fp)
-    acc = (tp + tn) / jnp.maximum(1.0, tp + tn + fp + fn)
-    return {
-        "TP": tp, "FP": fp, "TN": tn, "FN": fn,
-        "recall": recall, "precision": precision,
-        "fpr": fpr, "tnr": tnr, "accuracy": acc,
-    }
-
-
-def _host_rates(stats: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
-    """Recompute rates in float64 on host from the (exact) integer counts.
-
-    The [T, N] device broadcast carries counts in f32 — exact for any
-    realistic N — but ratios like 19/20 round differently in f32 vs f64,
-    and the reference's 1e-12 feasibility epsilon (common.py:668-746) is
-    meaningful only at f64 precision: a recall landing exactly on the
-    target must not flip feasibility on f32 rounding (ADVICE r1).
+    Host numpy in FULL float64, deliberately: the decision layer is tiny
+    (T, N ≤ a few thousand) and its semantics live below f32 resolution —
+    the candidate thresholds ARE probability values, so the ``>=``
+    predicate must distinguish probabilities that differ by less than an
+    f32 ulp (a jnp [T, N] pass downcasts to f32 and collapses them,
+    flipping confusion counts and with them policy feasibility), and the
+    reference's 1e-12 feasibility epsilon (common.py:668-746) is
+    meaningful only at f64 (ADVICE r1). The throughput-critical [T] axis
+    work stays vectorized either way.
     """
-    tp = np.asarray(stats["TP"], np.float64)
-    fp = np.asarray(stats["FP"], np.float64)
-    tn = np.asarray(stats["TN"], np.float64)
-    fn = np.asarray(stats["FN"], np.float64)
+    yt = np.asarray(y_true_bin).astype(bool)[None, :]                  # [1, N]
+    pred = (
+        np.asarray(y_prob, np.float64)[None, :]
+        >= np.asarray(thresholds, np.float64)[:, None]
+    )                                                                   # [T, N]
+    tp = np.sum(yt & pred, axis=1).astype(np.float64)
+    fp = np.sum(~yt & pred, axis=1).astype(np.float64)
+    fn = np.sum(yt & ~pred, axis=1).astype(np.float64)
+    tn = np.sum(~yt & ~pred, axis=1).astype(np.float64)
 
     def safe(num, den):
         return np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
@@ -88,12 +72,6 @@ def _host_rates(stats: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
     }
 
 
-def fbeta_scores(precision: jnp.ndarray, recall: jnp.ndarray, beta: float) -> jnp.ndarray:
-    beta2 = beta * beta
-    denom = beta2 * precision + recall
-    return jnp.where(denom > 0, (1 + beta2) * precision * recall / jnp.where(denom > 0, denom, 1), 0.0)
-
-
 def find_threshold_for_target_recall(
     y_true_bin: np.ndarray, y_prob: np.ndarray, target_recall: float
 ) -> float:
@@ -105,8 +83,8 @@ def find_threshold_for_target_recall(
     if y_true_bin.sum() == 0:
         return 0.5
     thr = candidate_thresholds(y_prob, include_one=False)
-    stats = stats_for_thresholds(jnp.asarray(y_true_bin), jnp.asarray(y_prob), jnp.asarray(thr))
-    ok = _host_rates(stats)["recall"] >= target_recall
+    stats = stats_for_thresholds(y_true_bin, y_prob, thr)
+    ok = stats["recall"] >= target_recall
     if ok.any():
         return float(thr[np.nonzero(ok)[0].max()])
     return float(thr[0])
@@ -127,8 +105,7 @@ def select_operating_threshold(
         return 0.5, {"policy": "no_positives", "recall": 0.0, "precision": 0.0, "fpr": 0.0}
 
     thr = candidate_thresholds(y_prob, include_one=True)
-    stats = stats_for_thresholds(jnp.asarray(y_true_bin), jnp.asarray(y_prob), jnp.asarray(thr))
-    rates = _host_rates(stats)
+    rates = stats_for_thresholds(y_true_bin, y_prob, thr)
     recall = rates["recall"]
     precision = rates["precision"]
     fpr = rates["fpr"]
@@ -203,10 +180,7 @@ def sweep_thresholds(
     if thresholds is None:
         thresholds = candidate_thresholds(y_prob, include_one=True)[::-1]
     thresholds = np.asarray(thresholds, dtype=np.float64)
-    stats = stats_for_thresholds(
-        jnp.asarray(y_true_bin), jnp.asarray(y_prob), jnp.asarray(thresholds)
-    )
-    host = _host_rates(stats)
+    host = stats_for_thresholds(y_true_bin, y_prob, thresholds)
     rows = []
     for i, t in enumerate(thresholds):
         rows.append(

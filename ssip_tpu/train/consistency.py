@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,6 +202,17 @@ def train_fixmatch(
                         "Unreadable best-state snapshot %s (%s) — using current",
                         best_path, exc,
                     )
+            elif math.isfinite(best_val):
+                # An improvement was recorded but its state is gone: the
+                # run continues with the CURRENT state standing in as
+                # "best" while the historic best loss still gates
+                # improvements — the returned best may not have achieved
+                # it. Surface that instead of proceeding silently.
+                LOGGER.warning(
+                    "Best-state snapshot %s missing (historic best %.4f) "
+                    "— current state stands in as best until the next "
+                    "improvement", best_path, best_val,
+                )
             LOGGER.info(
                 "Resumed '%s' from %s at epoch %d",
                 stream_name, resume_path, epoch_start,

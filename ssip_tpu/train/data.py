@@ -41,18 +41,29 @@ def _resize_on_device(
     for i, arr in enumerate(arrays):
         by_shape[arr.shape].append(i)
 
-    out = jnp.zeros((len(arrays), image_size, image_size, 3), jnp.uint8)
     resize_jit = jax.jit(
         lambda x: jnp.round(
             resize_bilinear(x, image_size, image_size, quantize=True)
         ).astype(jnp.uint8),
     )
+    # Assemble with ONE device concatenate + ONE order-restoring take —
+    # an out.at[idx].set per chunk copies the whole [N, S, S, 3] device
+    # buffer once per chunk and per unique input shape (review r3). Host
+    # assembly would be worse here: it pays a D2H per chunk over the
+    # tunnel; this keeps resized pixels on device.
+    chunks: List[jax.Array] = []
+    order: List[int] = []
     for shape, idxs in by_shape.items():
         for start in range(0, len(idxs), batch):
             chunk = idxs[start : start + batch]
             stacked = np.stack([arrays[i] for i in chunk])
-            resized = resize_jit(jnp.asarray(stacked))
-            out = out.at[jnp.asarray(chunk)].set(resized)
+            chunks.append(resize_jit(jnp.asarray(stacked)))
+            order.extend(chunk)
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+    if order != sorted(order):
+        inv = np.empty(len(order), np.int64)
+        inv[np.asarray(order)] = np.arange(len(order))
+        out = jnp.take(out, jnp.asarray(inv), axis=0)
     return out
 
 

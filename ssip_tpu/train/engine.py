@@ -380,6 +380,17 @@ def train_model(
     mid-stream — preemption-safe training beyond the reference's
     final-artifact-only checkpoints.
 
+    Known deviation, deliberate: this driver RETURNS the genuine
+    best-val-loss state. The reference's in-memory restore is accidentally
+    a no-op — ``best_state = model.state_dict()`` (common.py:420) aliases
+    the live parameter tensors, so later epochs mutate the "saved" copy
+    and the final ``load_state_dict(best_state)`` (:431) restores the
+    final-epoch weights — while its on-disk ``.pt`` (torch.saved at
+    improvement time, :424) holds the true best. We match the ARTIFACT
+    (true best on disk AND in memory); post-training in-memory metrics can
+    therefore differ from a reference run whenever validation degrades
+    after the best epoch.
+
     ``mesh``: data-parallel training. Params/opt state are replicated over
     the mesh and each step's batch axis is sharded over the ``data`` axis —
     XLA inserts the gradient psum and computes BN statistics from the
@@ -445,6 +456,17 @@ def train_model(
                         "Unreadable best-state snapshot %s (%s) — using current",
                         best_path, exc,
                     )
+            elif math.isfinite(best_val_loss):
+                # An improvement was recorded but its state is gone: the
+                # run continues with the CURRENT state standing in as
+                # "best" while the historic best loss still gates
+                # improvements — the returned best may not have achieved
+                # it. Surface that instead of proceeding silently.
+                LOGGER.warning(
+                    "Best-state snapshot %s missing (historic best %.4f) "
+                    "— current state stands in as best until the next "
+                    "improvement", best_path, best_val_loss,
+                )
             LOGGER.info(
                 "Resumed '%s' from %s at epoch %d",
                 stream_name, resume_path, epoch_start,

@@ -37,6 +37,17 @@ def pool_probabilities(
 
     variables = jax.device_put(variables)
     n = int(pool_images_u8.shape[0])
+    if n == 0:
+        # the clamp-pad index below would be -1 and the final reshape(0, -1)
+        # raises an obscure numpy error; an empty pool is a valid API input
+        # (pipeline callers fail-fast earlier with their own messages)
+        probe = jax.eval_shape(  # probe the head for the class count
+            lambda v: apply_fn(v, jnp.zeros((1, *pool_images_u8.shape[1:]),
+                                            pool_images_u8.dtype), train=False),
+            variables,
+        )
+        num_classes = probe.shape[-1]
+        return np.zeros((0, num_classes), np.float32)
     steps = (n + batch_size - 1) // batch_size
     padded = steps * batch_size
     idx = jnp.asarray(np.minimum(np.arange(padded), n - 1))  # clamp-pad

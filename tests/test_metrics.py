@@ -65,3 +65,29 @@ def test_average_precision_matches_sklearn(rng):
     y = (rng.random(60) > 0.4).astype(int)
     p = rng.random(60).round(2)
     assert abs(M.average_precision(y, p) - average_precision_score(y, p)) < 1e-12
+
+
+def test_roc_curve_single_class_matches_sklearn():
+    """Degenerate one-class inputs: the absent class's rate is all-NaN with
+    a warning — sklearn semantics — never a plausible-looking all-zero curve
+    (review r3)."""
+    import warnings
+
+    p = np.array([0.1, 0.5, 0.9])
+    for y in (np.zeros(3, np.int32), np.ones(3, np.int32)):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            fpr, tpr, _ = M.roc_curve(y, p)
+            sk_fpr, sk_tpr, _ = sk_roc_curve(y, p, drop_intermediate=False)
+        np.testing.assert_array_equal(np.isnan(fpr), np.isnan(sk_fpr))
+        np.testing.assert_array_equal(np.isnan(tpr), np.isnan(sk_tpr))
+        np.testing.assert_allclose(
+            np.nan_to_num(fpr, nan=-1), np.nan_to_num(sk_fpr, nan=-1)
+        )
+        np.testing.assert_allclose(
+            np.nan_to_num(tpr, nan=-1), np.nan_to_num(sk_tpr, nan=-1)
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            M.roc_curve(y, p)
+        assert any("NaN" in str(w.message) for w in rec)

@@ -148,3 +148,18 @@ def test_feasibility_exact_on_target_boundary():
     assert meta["policy"] == "constrained"
     assert meta["recall"] == 19 / 20  # exact f64 value
     assert thr >= 0.5
+
+
+def test_f64_resolution_thresholds():
+    """Probabilities distinct only below f32 resolution must keep distinct
+    confusion counts (review r3): with y_prob = [0.5, 0.5+1e-12], threshold
+    0.5+1e-12 predicts exactly one positive — in f32 the two values collapse
+    and the policy degrades from 'constrained' to 'fbeta' with precision 0.5."""
+    y_true = np.array([0, 1])
+    y_prob = np.array([0.5, 0.5 + 1e-12], dtype=np.float64)
+    thr, info = select_operating_threshold(
+        y_true, y_prob, target_recall=1.0, min_precision=1.0
+    )
+    assert info["policy"] == "constrained"
+    assert info["precision"] == 1.0 and info["recall"] == 1.0
+    assert thr == 0.5 + 1e-12
