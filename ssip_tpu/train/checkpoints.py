@@ -150,3 +150,50 @@ def load_checkpoint(path: Path, template: Dict[str, Any]) -> Dict[str, Any]:
         state = torch.load(path, map_location="cpu", weights_only=True)
         return port_state_dict({k: v.numpy() for k, v in state.items()})
     raise FileNotFoundError(f"No checkpoint at {path} or {flax_path}")
+
+
+def restore_resume_state(resume_path, state_template):
+    """Shared resume-restore for the epoch drivers (engine.train_model,
+    consistency.train_fixmatch): load the snapshot, then the ``.best``
+    sidecar with its two failure modes (unreadable → warn, missing with a
+    recorded historic best → warn that the current state stands in).
+
+    Returns ``(state, driver, best_state)``; ``driver`` is ``None`` when the
+    snapshot is unreadable (callers start fresh — a resume point must never
+    brick the run it protects). Callers re-place trees on their mesh as
+    needed (restored leaves are host arrays).
+    """
+    import math
+
+    path = Path(resume_path)
+    try:
+        state, driver = load_train_snapshot(path, state_template)
+    except Exception as exc:
+        LOGGER.warning(
+            "Unreadable resume snapshot %s (%s) — starting fresh", path, exc
+        )
+        return state_template, None, state_template
+
+    best_path = Path(str(path) + ".best")
+    best_state = state
+    best_val = driver.get("best_val_loss", math.inf)
+    if best_path.exists():
+        try:
+            best_state, _ = load_train_snapshot(best_path, state)
+        except Exception as exc:
+            LOGGER.warning(
+                "Unreadable best-state snapshot %s (%s) — using current",
+                best_path, exc,
+            )
+    elif math.isfinite(best_val):
+        # An improvement was recorded but its state is gone: the run
+        # continues with the CURRENT state standing in as "best" while the
+        # historic best loss still gates improvements — the returned best
+        # may not have achieved it. Surface that instead of proceeding
+        # silently.
+        LOGGER.warning(
+            "Best-state snapshot %s missing (historic best %.4f) — current "
+            "state stands in as best until the next improvement",
+            best_path, best_val,
+        )
+    return state, driver, best_state

@@ -175,44 +175,17 @@ def train_fixmatch(
     n_unlabeled = int(unlabeled_images.shape[0])
 
     if resume_path is not None and Path(resume_path).exists():
-        from ssip_tpu.train.checkpoints import load_train_snapshot
+        from ssip_tpu.train.checkpoints import restore_resume_state
 
-        try:
-            state, driver = load_train_snapshot(Path(resume_path), state)
-        except Exception as exc:
-            LOGGER.warning(
-                "Unreadable resume snapshot %s (%s) — starting '%s' fresh",
-                resume_path, exc, stream_name,
-            )
-            driver = None
+        state_r, driver, best_state_r = restore_resume_state(resume_path, state)
         if driver is not None:
+            state, best_state = state_r, best_state_r
             history = driver["history"]
             best_val = driver["best_val_loss"]
             early = driver["early_patience"]
             plateau_best = driver["plateau_best"]
             plateau_bad = driver["plateau_bad"]
             epoch_start = driver["epoch"] + 1
-            best_path = Path(str(resume_path) + ".best")
-            best_state = state
-            if best_path.exists():
-                try:
-                    best_state, _ = load_train_snapshot(best_path, state)
-                except Exception as exc:
-                    LOGGER.warning(
-                        "Unreadable best-state snapshot %s (%s) — using current",
-                        best_path, exc,
-                    )
-            elif math.isfinite(best_val):
-                # An improvement was recorded but its state is gone: the
-                # run continues with the CURRENT state standing in as
-                # "best" while the historic best loss still gates
-                # improvements — the returned best may not have achieved
-                # it. Surface that instead of proceeding silently.
-                LOGGER.warning(
-                    "Best-state snapshot %s missing (historic best %.4f) "
-                    "— current state stands in as best until the next "
-                    "improvement", best_path, best_val,
-                )
             LOGGER.info(
                 "Resumed '%s' from %s at epoch %d",
                 stream_name, resume_path, epoch_start,
