@@ -43,6 +43,7 @@ stage sweep_base   python -m src.threshold_sweep \
   --strong-data-dir "$D/avec_labels" --model baseline ${DEVFLAG[@]+"${DEVFLAG[@]}"}
 stage sweep_semi   python -m src.threshold_sweep \
   --strong-data-dir "$D/avec_labels" --model semi ${DEVFLAG[@]+"${DEVFLAG[@]}"}
+stage export       python -m src.export_model --model semi
 stage comparison   python scripts/generate_model_comparison.py
 stage reporting    python scripts/generate_reporting_assets.py
 stage readme       python scripts/generate_outputs_readme.py

@@ -112,6 +112,10 @@ class ArtifactRegistry:
     def operating_point_json(self) -> Path:
         return self.notes_dir / "operating_point.json"
 
+    def serving_artifact(self, model: str = "semi") -> Path:
+        """AOT serving export (ours — no reference counterpart)."""
+        return self.models_dir / f"{model}_serving.ssip.npz"
+
     @property
     def triage_csv(self) -> Path:
         return self.tables_dir / "unlabeled_predictions_semi.csv"

@@ -43,6 +43,97 @@ class PredictionResult:
     positive_class: str
 
 
+@dataclass
+class ServingBundle:
+    """A pipeline run's checkpoint + calibrated operating point, resolved.
+
+    Shared by the in-process predictor (:class:`ScreeningPredictor`) and the
+    AOT export path (:mod:`ssip_tpu.deploy.export`) so both serve exactly the
+    artifacts the training pipelines calibrated.
+    """
+
+    variables: dict
+    threshold: float
+    positive_class: str
+    pos_index: int
+    classes: Optional[List[str]]
+    arch: str
+    num_classes: int
+    checkpoint_path: Path
+
+
+def load_serving_bundle(
+    output_dir: Path | str = "outputs",
+    model: str = "semi",
+    image_size: int = 224,
+) -> ServingBundle:
+    """Load checkpoint + operating_point.json from a pipeline run.
+
+    The classifier head size comes from the operating point's recorded
+    class list (a checkpoint trained on ≠2 classes must not hit an
+    opaque msgpack shape mismatch against a hardcoded 2-way template).
+    """
+    reg = ArtifactRegistry(Path(output_dir))
+    ckpt = reg.semi_checkpoint if model == "semi" else reg.baseline_checkpoint
+
+    threshold, positive_class = 0.5, "cancer"
+    classes = None
+    arch = "resnet18"
+    op_path = reg.operating_point_json
+    if op_path.exists():
+        op = json.loads(op_path.read_text())
+        if op.get("threshold") is not None:
+            threshold = float(op["threshold"])
+        positive_class = op.get("positive_class", positive_class)
+        classes = op.get("classes")
+        arch = str(op.get("arch", arch))
+    else:
+        LOGGER.warning(
+            "No operating_point.json under %s — defaulting threshold 0.5",
+            output_dir,
+        )
+
+    num_classes = len(classes) if classes else 2
+    from ssip_tpu.models import MODEL_FACTORIES
+
+    template = seeded_init_host(
+        MODEL_FACTORIES[arch](num_classes=num_classes),
+        0,
+        (1, image_size, image_size, 3),
+    )
+    try:
+        variables = load_checkpoint(ckpt, template)
+    except Exception as exc:
+        raise RuntimeError(
+            f"Failed to restore checkpoint {ckpt} against a "
+            f"{num_classes}-class {arch} head (classes from "
+            f"{op_path.name}: {classes}). If the checkpoint was trained "
+            "with a different class count, regenerate "
+            "operating_point.json or pass matching artifacts."
+        ) from exc
+
+    if classes and positive_class in classes:
+        pos_index = classes.index(positive_class)
+    else:
+        # legacy operating points lack the class list; fall back to the
+        # default dataset's sorted-dir convention (cancer=0, normal=1)
+        LOGGER.warning(
+            "operating_point.json has no class list — assuming sorted "
+            "class dirs for pos_index of '%s'", positive_class,
+        )
+        pos_index = 0 if positive_class == "cancer" else 1
+    return ServingBundle(
+        variables=variables,
+        threshold=float(threshold),
+        positive_class=positive_class,
+        pos_index=pos_index,
+        classes=classes,
+        arch=arch,
+        num_classes=num_classes,
+        checkpoint_path=ckpt,
+    )
+
+
 class ScreeningPredictor:
     """Checkpoint + operating point compiled into a batch predictor."""
 
@@ -63,6 +154,7 @@ class ScreeningPredictor:
         self.pos_index = int(pos_index)
         self.image_size = image_size
         self.batch_size = batch_size
+        self.arch = arch
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         from ssip_tpu.models import MODEL_FACTORIES
 
@@ -101,69 +193,17 @@ class ScreeningPredictor:
         image_size: int = 224,
         compute_dtype: str = "float32",
     ) -> "ScreeningPredictor":
-        """Load checkpoint + operating_point.json from a pipeline run.
-
-        The classifier head size comes from the operating point's recorded
-        class list (a checkpoint trained on ≠2 classes must not hit an
-        opaque msgpack shape mismatch against a hardcoded 2-way template).
-        """
-        reg = ArtifactRegistry(Path(output_dir))
-        ckpt = reg.semi_checkpoint if model == "semi" else reg.baseline_checkpoint
-
-        threshold, positive_class = 0.5, "cancer"
-        classes = None
-        arch = "resnet18"
-        op_path = reg.operating_point_json
-        if op_path.exists():
-            op = json.loads(op_path.read_text())
-            if op.get("threshold") is not None:
-                threshold = float(op["threshold"])
-            positive_class = op.get("positive_class", positive_class)
-            classes = op.get("classes")
-            arch = str(op.get("arch", arch))
-        else:
-            LOGGER.warning(
-                "No operating_point.json under %s — defaulting threshold 0.5",
-                output_dir,
-            )
-
-        num_classes = len(classes) if classes else 2
-        from ssip_tpu.models import MODEL_FACTORIES
-
-        template = seeded_init_host(
-            MODEL_FACTORIES[arch](num_classes=num_classes),
-            0,
-            (1, image_size, image_size, 3),
-        )
-        try:
-            variables = load_checkpoint(ckpt, template)
-        except Exception as exc:
-            raise RuntimeError(
-                f"Failed to restore checkpoint {ckpt} against a "
-                f"{num_classes}-class {arch} head (classes from "
-                f"{op_path.name}: {classes}). If the checkpoint was trained "
-                "with a different class count, regenerate "
-                "operating_point.json or pass matching artifacts."
-            ) from exc
-
-        if classes and positive_class in classes:
-            pos_index = classes.index(positive_class)
-        else:
-            # legacy operating points lack the class list; fall back to the
-            # default dataset's sorted-dir convention (cancer=0, normal=1)
-            LOGGER.warning(
-                "operating_point.json has no class list — assuming sorted "
-                "class dirs for pos_index of '%s'", positive_class,
-            )
-            pos_index = 0 if positive_class == "cancer" else 1
+        """Load checkpoint + operating_point.json from a pipeline run."""
+        bundle = load_serving_bundle(output_dir, model=model, image_size=image_size)
         LOGGER.info(
             "Predictor ready: %s checkpoint, threshold %.4f on '%s'",
-            model, threshold, positive_class,
+            model, bundle.threshold, bundle.positive_class,
         )
         return cls(
-            variables, threshold, positive_class, pos_index,
-            image_size=image_size, batch_size=batch_size,
-            compute_dtype=compute_dtype, num_classes=num_classes, arch=arch,
+            bundle.variables, bundle.threshold, bundle.positive_class,
+            bundle.pos_index, image_size=image_size, batch_size=batch_size,
+            compute_dtype=compute_dtype, num_classes=bundle.num_classes,
+            arch=bundle.arch,
         )
 
     # -- inference ----------------------------------------------------------

@@ -53,3 +53,31 @@ def test_bench_stdout_first_and_last_lines_are_the_headline_json():
     # print to stdout — diagnostics are stderr-only)
     for ln in lines[1:-1]:
         assert json.loads(ln) == first
+
+
+def test_bench_stale_headline_when_tunnel_down(tmp_path):
+    """Tunnel-down fallback: report the committed chip measurement, marked
+    stale, instead of mislabeling a CPU rate as imgs/sec/chip."""
+    committed = {"embedding_bf16_imgs_per_sec": 32926.05}
+    notes = tmp_path / "outputs" / "notes"
+    notes.mkdir(parents=True)
+    (notes / "benchmarks.json").write_text(json.dumps(committed))
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the TPU probe run (and fail)
+    env.update(
+        SSIP_BENCH_FORCE_PROBE_FAIL="1",
+        SSIP_BENCH_DATA="/nonexistent-bench-corpus",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    first, last = json.loads(lines[0]), json.loads(lines[-1])
+    assert first == last
+    assert first["stale"] is True
+    assert first["metric"] == "imgs/sec/chip"
+    assert first["value"] == 32926.1
+    assert "tunnel" in first["note"].lower()
