@@ -27,10 +27,19 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "<output-dir>/models/<model>_serving.ssip.npz)")
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument(
-        "--compute-dtype", choices=["float32", "bfloat16"], default="float32",
+        "--compute-dtype", choices=["float32", "bfloat16", "int8"],
+        default="float32",
         help="float32 (default) matches calibration-time probabilities; "
-        "bfloat16 trades O(1e-2) probability shift for TPU throughput",
+        "bfloat16 trades O(1e-2) probability shift for TPU throughput; "
+        "int8 exports the PTQ max-throughput mode (approximate — "
+        "docs/performance.md) and requires --calibration-images",
     )
+    parser.add_argument(
+        "--calibration-images", type=Path, default=None,
+        help="directory of images for int8 activation-scale calibration "
+        "(first --calibration-count, sorted)",
+    )
+    parser.add_argument("--calibration-count", type=int, default=32)
     parser.add_argument(
         "--platforms", default="cpu,tpu",
         help="comma-separated lowering targets baked into the artifact",
@@ -62,6 +71,26 @@ def main(argv=None) -> None:
     out = args.out or (
         args.output_dir / "models" / f"{args.model}_serving{ARTIFACT_SUFFIX}"
     )
+
+    calibration_u8 = None
+    if args.compute_dtype == "int8":
+        if args.calibration_images is None:
+            raise SystemExit("--compute-dtype int8 requires --calibration-images")
+        import numpy as np
+
+        from ssip_tpu.data.decode import decode_batch
+        from ssip_tpu.data.discovery import IMAGE_SUFFIXES
+        from ssip_tpu.train.data import _resize_on_device
+
+        paths = sorted(
+            p for p in args.calibration_images.rglob("*")
+            if p.is_file() and p.suffix.lower() in IMAGE_SUFFIXES
+        )[: args.calibration_count]
+        if not paths:
+            raise SystemExit(f"No images under {args.calibration_images}")
+        arrays, _ = decode_batch(paths, convert_rgb=True, num_threads=4)
+        arrays = [a for a in arrays if a is not None]
+        calibration_u8 = np.asarray(_resize_on_device(arrays, args.image_size))
     path = export_serving_artifact(
         bundle.variables,
         out,
@@ -74,6 +103,7 @@ def main(argv=None) -> None:
         positive_class=bundle.positive_class,
         pos_index=bundle.pos_index,
         classes=bundle.classes,
+        calibration_u8=calibration_u8,
     )
     size_mb = path.stat().st_size / 1e6
     print(

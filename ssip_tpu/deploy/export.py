@@ -80,6 +80,70 @@ def build_serving_fn(arch: str, num_classes: int, compute_dtype: str):
     return serving_fn
 
 
+def build_serving_fn_int8(arch: str):
+    """int8-PTQ serving forward: quantized backbone + f32 fc head + softmax.
+
+    The bundle is the nested-dict form of the ``models.quantized`` tree
+    (``blocks`` as a sorted dict — npz storage round-trips dicts, not
+    lists) plus the f32 ``fc`` site. Same control flow as the in-process
+    ``--compute-dtype int8`` path with ``stem_prequantized=False`` (the
+    Pallas quantizing-preproc fusion is a TPU-runtime detail, not part of
+    the portable artifact). This is the throughput mode — quantization
+    noise bounds live in tests/test_quantized.py; parity serving keeps
+    float32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ssip_tpu.models.quantized import make_quantized_apply
+    from ssip_tpu.models.resnet import MODEL_STAGES
+    from ssip_tpu.ops.augment import eval_preprocess
+
+    q_apply = make_quantized_apply(
+        MODEL_STAGES[arch], bottleneck=arch == "resnet50"
+    )
+
+    def serving_fn(bundle, images_u8):
+        qtree = {
+            "stem": bundle["stem"],
+            "blocks": [bundle["blocks"][k] for k in sorted(bundle["blocks"])],
+        }
+        x = eval_preprocess(images_u8, dtype=jnp.float32)
+        feats = q_apply(qtree, x)
+        logits = feats @ bundle["fc"]["kernel"] + bundle["fc"]["bias"]
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+
+    return serving_fn
+
+
+def quantized_serving_bundle(variables, calibration_u8, arch: str):
+    """variables + uint8 eval-resized calibration batch → int8 bundle tree."""
+    import jax.numpy as jnp
+
+    from ssip_tpu.models.quantized import quantize_extractor
+    from ssip_tpu.models.resnet import MODEL_STAGES
+    from ssip_tpu.ops.augment import eval_preprocess
+
+    if "fc" not in variables.get("params", {}):
+        raise ValueError(
+            "int8 export needs a classifier checkpoint (no 'fc' head found)"
+        )
+    calib = eval_preprocess(jnp.asarray(calibration_u8), dtype=jnp.float32)
+    qtree = quantize_extractor(
+        variables, calib, MODEL_STAGES[arch], bottleneck=arch == "resnet50"
+    )
+    return {
+        "stem": qtree["stem"],
+        "blocks": {
+            f"block{i:02d}": blk for i, blk in enumerate(qtree["blocks"])
+        },
+        "fc": {
+            "kernel": variables["params"]["fc"]["kernel"],
+            "bias": variables["params"]["fc"]["bias"],
+        },
+    }
+
+
 def export_serving_artifact(
     variables,
     out_path: Path | str,
@@ -93,15 +157,26 @@ def export_serving_artifact(
     positive_class: str = "cancer",
     pos_index: int = 0,
     classes: Optional[List[str]] = None,
+    calibration_u8: Optional[np.ndarray] = None,
 ) -> Path:
     """Export ``variables`` as a self-contained serving artifact.
 
     Returns the written path. The batch dimension is symbolic (any b ≥ 1).
+    ``compute_dtype="int8"`` exports the PTQ throughput mode and requires
+    ``calibration_u8`` (eval-resized uint8 images for activation scales).
     """
     import jax
     from jax import export as jexport
 
-    serving_fn = build_serving_fn(arch, num_classes, compute_dtype)
+    calibration_images = 0
+    if compute_dtype == "int8":
+        if calibration_u8 is None:
+            raise ValueError("int8 export requires calibration images")
+        serving_fn = build_serving_fn_int8(arch)
+        variables = quantized_serving_bundle(variables, calibration_u8, arch)
+        calibration_images = int(np.shape(calibration_u8)[0])
+    else:
+        serving_fn = build_serving_fn(arch, num_classes, compute_dtype)
 
     host_vars = jax.device_get(variables)
     (b,) = jexport.symbolic_shape("b")
@@ -128,6 +203,7 @@ def export_serving_artifact(
         "jax_version": jax.__version__,
         "input": f"uint8 [b, {image_size}, {image_size}, 3], eval-resized",
         "output": f"float32 softmax probabilities [b, {num_classes}]",
+        "calibration_images": calibration_images,
     }
 
     payload = {

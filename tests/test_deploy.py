@@ -203,6 +203,55 @@ def test_http_server_end_to_end(exported_artifact, tmp_path):
         thread.join(timeout=10)
 
 
+def test_int8_export_matches_in_process_quantized_path(
+    fabricated_run, tmp_path, tiny_image_tree
+):
+    """int8 artifact == the same quantized program run in-process (exact),
+    and stays within quantization noise of the f32 export's probabilities."""
+    import jax
+    import jax.numpy as jnp
+
+    import src.export_model as export_model
+    from ssip_tpu.deploy.export import (
+        ExportedModel,
+        build_serving_fn,
+        build_serving_fn_int8,
+        quantized_serving_bundle,
+    )
+
+    out_dir, variables = fabricated_run
+    path = tmp_path / "semi_int8.ssip.npz"
+    export_model.main([
+        "--output-dir", str(out_dir), "--model", "semi",
+        "--out", str(path), "--image-size", "32",
+        "--compute-dtype", "int8",
+        "--calibration-images", str(tiny_image_tree / "sans_label"),
+        "--calibration-count", "8",
+    ])
+    model = ExportedModel.load(path)
+    assert model.manifest["compute_dtype"] == "int8"
+    assert model.manifest["calibration_images"] == 8
+
+    rng = np.random.default_rng(13)
+    images = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    got = model.predict_probs(images)
+
+    # exact vs the in-process quantized program (same calibration data)
+    from ssip_tpu.data.decode import decode_batch
+    from ssip_tpu.train.data import _resize_on_device
+
+    paths = sorted((tiny_image_tree / "sans_label").glob("*"))[:8]
+    arrays, _ = decode_batch(paths, convert_rgb=True, num_threads=2)
+    calib = np.asarray(_resize_on_device([a for a in arrays if a is not None], 32))
+    bundle = quantized_serving_bundle(variables, jnp.asarray(calib), "resnet18")
+    direct = jax.jit(build_serving_fn_int8("resnet18"))(bundle, images)
+    np.testing.assert_allclose(got, np.asarray(direct), rtol=0, atol=1e-6)
+
+    # quantization-noise envelope vs the f32 serving math
+    f32 = jax.jit(build_serving_fn("resnet18", 2, "float32"))(variables, images)
+    np.testing.assert_allclose(got, np.asarray(f32), atol=0.25)
+
+
 def test_server_wraps_in_process_predictor(fabricated_run):
     """src.serve's checkpoint mode: make_server over ScreeningPredictor."""
     import src.serve as serve_cli
