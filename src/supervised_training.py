@@ -55,6 +55,13 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         help="activation dtype for the train/eval forwards (bfloat16 = MXU "
         "throughput mode; params/BN stats/loss/optimizer stay float32)",
     )
+    parser.add_argument(
+        "--num-seeds", type=int, default=1,
+        help="train this many independent seeds (seed, seed+1, ...) "
+        "simultaneously in one vmapped program — one model per mesh device "
+        "— and keep the best by validation loss (tables/seed_sweep.csv "
+        "records all lanes). 1 = reference behavior",
+    )
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -104,6 +111,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         consistency_threshold=getattr(args, "consistency_threshold", 0.95),
         resume=getattr(args, "resume", False),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        num_seeds=getattr(args, "num_seeds", 1),
     )
 
 

@@ -161,24 +161,33 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     LOGGER.info("Training mesh: %s", dict(mesh.shape))
 
     # ---- Phase A: baseline ------------------------------------------------
-    baseline_state, _ = build_classifier_state(config, len(classes), config.learning_rate)
-    t0 = time.time()
-    baseline_state, baseline_history = train_model(
-        baseline_state,
-        datasets["train"],
-        datasets["val"],
-        num_epochs=config.baseline_epochs,
-        batch_size=config.batch_size,
-        seed=config.seed,
-        stream_name="baseline",
-        resume_path=config.resume_path("baseline"),
-        balanced=True,
-        augment=True,
-        early_stopping_patience=config.early_stopping_patience,
-        checkpoint_fn=lambda s: save_checkpoint(reg.baseline_checkpoint, variables_of(s)),
-        mesh=mesh,
-    )
-    baseline_time = time.time() - t0
+    if config.num_seeds > 1:
+        # seed fan-out (TPU extra): the best-of-N baseline also becomes the
+        # pseudo-labeler, so the whole semi pipeline downstream benefits
+        from ssip_tpu.pipelines.supervised import _train_baseline_multi_seed
+
+        baseline_state, baseline_history, baseline_time = (
+            _train_baseline_multi_seed(config, datasets, len(classes), mesh)
+        )
+    else:
+        baseline_state, _ = build_classifier_state(config, len(classes), config.learning_rate)
+        t0 = time.time()
+        baseline_state, baseline_history = train_model(
+            baseline_state,
+            datasets["train"],
+            datasets["val"],
+            num_epochs=config.baseline_epochs,
+            batch_size=config.batch_size,
+            seed=config.seed,
+            stream_name="baseline",
+            resume_path=config.resume_path("baseline"),
+            balanced=True,
+            augment=True,
+            early_stopping_patience=config.early_stopping_patience,
+            checkpoint_fn=lambda s: save_checkpoint(reg.baseline_checkpoint, variables_of(s)),
+            mesh=mesh,
+        )
+        baseline_time = time.time() - t0
     plot_training_curves(baseline_history, reg.baseline_curves_png, "Baseline")
 
     (

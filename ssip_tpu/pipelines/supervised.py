@@ -37,9 +37,14 @@ LOGGER = get_logger(__name__)
 
 
 def build_classifier_state(
-    config: TrainingConfig, num_classes: int, learning_rate: float
+    config: TrainingConfig, num_classes: int, learning_rate: float,
+    seed: Optional[int] = None,
 ) -> Tuple[TrainState, Any]:
-    """Fresh classifier TrainState: ported backbone (if available) + new fc."""
+    """Fresh classifier TrainState: ported backbone (if available) + new fc.
+
+    ``seed`` overrides ``config.seed`` for the parameter init — the
+    multi-seed fan-out gives each lane its own init stream.
+    """
     compute_dtype = (
         jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     )
@@ -47,7 +52,9 @@ def build_classifier_state(
         num_classes=num_classes, compute_dtype=compute_dtype
     )
     variables = seeded_init_host(
-        model, config.seed, (1, config.image_size, config.image_size, 3)
+        model,
+        config.seed if seed is None else seed,
+        (1, config.image_size, config.image_size, 3),
     )
 
     import os
@@ -92,6 +99,57 @@ def prepare_datasets(
     return datasets, classes, splits, images, targets
 
 
+def _train_baseline_multi_seed(
+    config: TrainingConfig, datasets, num_classes: int, mesh
+):
+    """--num-seeds fan-out: N seeds trained in one vmapped program, best
+    (by val loss, the reference's checkpoint criterion) kept. Writes the
+    per-seed summary to tables/seed_sweep.csv."""
+    import pandas as pd
+
+    from ssip_tpu.train.multi_seed import index_state, train_multi_seed
+
+    reg = config.artifacts
+    seeds = [config.seed + i for i in range(config.num_seeds)]
+    if config.resume:
+        LOGGER.warning(
+            "--resume is not supported with --num-seeds > 1; training "
+            "without mid-run snapshots"
+        )
+    states = [
+        build_classifier_state(config, num_classes, config.learning_rate, seed=s)[0]
+        for s in seeds
+    ]
+    t0 = time.time()
+    best_states, histories, summary = train_multi_seed(
+        states,
+        datasets["train"],
+        datasets["val"],
+        seeds=seeds,
+        num_epochs=config.baseline_epochs,
+        batch_size=config.batch_size,
+        stream_name="baseline",
+        balanced=True,
+        augment=True,
+        early_stopping_patience=config.early_stopping_patience,
+        mesh=mesh,
+    )
+    train_time = time.time() - t0
+    best_lane = int(np.argmin([row["best_val_loss"] for row in summary]))
+    for row in summary:
+        row["selected"] = row["seed"] == seeds[best_lane]
+    reg.tables_dir.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(summary).to_csv(reg.seed_sweep_csv, index=False)
+    LOGGER.info(
+        "Seed sweep: best seed %d (val loss %.4f of %s)",
+        seeds[best_lane], summary[best_lane]["best_val_loss"],
+        [round(r["best_val_loss"], 4) for r in summary],
+    )
+    state = index_state(best_states, best_lane)
+    save_checkpoint(reg.baseline_checkpoint, variables_of(state))
+    return state, histories[best_lane], train_time
+
+
 def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     from ssip_tpu.runtime.device import force_cpu_platform_if_requested
     from ssip_tpu.runtime.jaxconfig import setup_jax
@@ -109,25 +167,34 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
 
     mesh = config.build_mesh()
     LOGGER.info("Training mesh: %s", dict(mesh.shape))
-    state, _model = build_classifier_state(config, len(classes), config.learning_rate)
 
-    t0 = time.time()
-    state, history = train_model(
-        state,
-        datasets["train"],
-        datasets["val"],
-        num_epochs=config.baseline_epochs,
-        batch_size=config.batch_size,
-        seed=config.seed,
-        stream_name="baseline",
-        resume_path=config.resume_path("baseline"),
-        balanced=True,
-        augment=True,
-        early_stopping_patience=config.early_stopping_patience,
-        checkpoint_fn=lambda s: save_checkpoint(reg.baseline_checkpoint, variables_of(s)),
-        mesh=mesh,
-    )
-    train_time = time.time() - t0
+    if config.num_seeds > 1:
+        state, history, train_time = _train_baseline_multi_seed(
+            config, datasets, len(classes), mesh
+        )
+    else:
+        state, _model = build_classifier_state(
+            config, len(classes), config.learning_rate
+        )
+        t0 = time.time()
+        state, history = train_model(
+            state,
+            datasets["train"],
+            datasets["val"],
+            num_epochs=config.baseline_epochs,
+            batch_size=config.batch_size,
+            seed=config.seed,
+            stream_name="baseline",
+            resume_path=config.resume_path("baseline"),
+            balanced=True,
+            augment=True,
+            early_stopping_patience=config.early_stopping_patience,
+            checkpoint_fn=lambda s: save_checkpoint(
+                reg.baseline_checkpoint, variables_of(s)
+            ),
+            mesh=mesh,
+        )
+        train_time = time.time() - t0
 
     arg_metrics, arg_y_true, arg_y_pred, y_prob_test = evaluate_model(
         state, datasets["test"], config.batch_size, mesh=mesh
@@ -193,6 +260,8 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         "baseline": history,
         "splits": {k: np.asarray(v).tolist() for k, v in splits.items()},
     }
+    if config.num_seeds > 1:
+        history_payload["num_seeds"] = config.num_seeds
     reg.training_history_json.write_text(json.dumps(history_payload, indent=2))
 
     return {"baseline_thresholded": thr_metrics, "baseline_argmax": arg_metrics}

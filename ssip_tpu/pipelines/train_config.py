@@ -66,6 +66,11 @@ class TrainingConfig:
     # and the fc input axis shard over this many devices
     # (parallel.mesh.tp_param_spec). 1 = pure DP.
     mesh_model: int = 1
+    # seed fan-out (TPU extra, train.multi_seed): train this many
+    # independent models (seeds seed, seed+1, ...) simultaneously in one
+    # vmapped program, seed axis sharded over the mesh data axis, and keep
+    # the best-val-loss seed's model. 1 = reference behavior.
+    num_seeds: int = 1
 
     def build_mesh(self):
         from ssip_tpu.parallel.mesh import training_mesh

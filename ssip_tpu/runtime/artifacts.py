@@ -120,6 +120,12 @@ class ArtifactRegistry:
     def triage_csv(self) -> Path:
         return self.tables_dir / "unlabeled_predictions_semi.csv"
 
+    @property
+    def seed_sweep_csv(self) -> Path:
+        """Per-seed results of --num-seeds fan-out training (ours — no
+        reference counterpart; train.multi_seed)."""
+        return self.tables_dir / "seed_sweep.csv"
+
     # -- figures ------------------------------------------------------------
     @property
     def baseline_curves_png(self) -> Path:

@@ -285,6 +285,48 @@ def _stacked_epoch(
     return pidx, valid
 
 
+def epoch_plan(
+    train_dataset: "DeviceDataset",
+    *,
+    seed: int,
+    epoch: int,
+    stream_name: str,
+    balanced: bool,
+    batch_size: int,
+    row_width: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, jax.Array]:
+    """One epoch's deterministic plan: (pidx [steps,row], valid, keys [steps]).
+
+    The single source of the per-epoch sampling order and augmentation key
+    streams. Both the solo driver (``train_model``) and the multi-seed
+    driver (``train.multi_seed``) build their epochs through this function,
+    so a multi-seed lane running seed ``s`` sees byte-identical batch orders
+    and PRNG keys to a solo ``train_model(seed=s)`` run.
+    """
+    if balanced:
+        from ssip_tpu.data.splits import balanced_epoch_indices
+
+        order = balanced_epoch_indices(
+            train_dataset.labels, seed=seed, epoch=epoch,
+            num_samples=len(train_dataset),
+        )
+    else:
+        from ssip_tpu.runtime.prng import host_rng
+
+        # host_rng folds the stream name through sha256 — stable across
+        # processes, unlike Python's per-process-salted hash()
+        rng = host_rng(seed, f"shuffle/{stream_name}/{epoch}")
+        order = rng.permutation(len(train_dataset))
+    pidx, valid = _stacked_epoch(order, batch_size, row_width)
+    keys = jnp.stack(
+        [
+            epoch_key(seed, f"{stream_name}/aug/{epoch}", bi)
+            for bi in range(pidx.shape[0])
+        ]
+    )
+    return pidx, valid, keys
+
+
 def _epoch_shardings(mesh) -> Tuple[Any, Any]:
     """(stacked-batch sharding P(None, 'data'), replicated sharding P())."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -400,8 +442,6 @@ def train_model(
     """
     from pathlib import Path
 
-    from ssip_tpu.data.splits import balanced_epoch_indices
-
     train_epoch = make_fused_epoch(augment=augment, trainable_mask=trainable_mask)
     batch_sh = rep_sh = None
     row_width = None
@@ -448,26 +488,10 @@ def train_model(
                 return best_state, history
 
     for epoch in range(epoch_start, num_epochs):
-        if balanced:
-            order = balanced_epoch_indices(
-                train_dataset.labels, seed=seed, epoch=epoch,
-                num_samples=len(train_dataset),
-            )
-        else:
-            from ssip_tpu.runtime.prng import host_rng
-
-            # host_rng folds the stream name through sha256 — stable across
-            # processes, unlike Python's per-process-salted hash()
-            rng = host_rng(seed, f"shuffle/{stream_name}/{epoch}")
-            order = rng.permutation(len(train_dataset))
-
         # whole epoch in one fused dispatch
-        pidx, valid = _stacked_epoch(order, batch_size, row_width)
-        keys = jnp.stack(
-            [
-                epoch_key(seed, f"{stream_name}/aug/{epoch}", bi)
-                for bi in range(pidx.shape[0])
-            ]
+        pidx, valid, keys = epoch_plan(
+            train_dataset, seed=seed, epoch=epoch, stream_name=stream_name,
+            balanced=balanced, batch_size=batch_size, row_width=row_width,
         )
         images = train_dataset.images_u8[jnp.asarray(pidx)]
         labels = train_dataset.labels_dev[jnp.asarray(pidx)]
