@@ -306,6 +306,52 @@ def main() -> None:
                 ),
             )
 
+    # 3b. multi-seed fan-out (--num-seeds): 8 models' train steps in ONE
+    #     vmapped program. The interesting number is lane-steps/s vs the
+    #     solo batch-16 steps/s — how much of the 8× trial fan-out the chip
+    #     absorbs for free when one tiny-batch step can't fill it.
+    if on_tpu and not args.quick:
+        from ssip_tpu.train.multi_seed import make_multi_epoch, stack_states
+
+        n_lanes, tb, steps = 8, 16, 8
+        ms_model = ResNet18(num_classes=2, compute_dtype=jnp.bfloat16)
+        ms_state = TrainState.create(
+            apply_fn=ms_model.apply, params=host_cls_vars["params"],
+            batch_stats=host_cls_vars["batch_stats"],
+            tx=make_optimizer(1e-4, 1e-4),
+        )
+        # identical init across lanes — throughput only; trajectories in
+        # tests/test_multi_seed.py carry the correctness story
+        stacked = jax.device_put(stack_states([ms_state] * n_lanes))
+        imgs_full = jnp.asarray(
+            rng.integers(0, 256, (128, 224, 224, 3), dtype=np.uint8)
+        )
+        labels_full = jnp.asarray(rng.integers(0, 2, (128,)).astype(np.int32))
+        ms_pidx = jnp.asarray(rng.integers(0, 128, (n_lanes, steps, tb)))
+        ms_valid = jnp.ones((steps, tb), bool)
+        ms_keys = jnp.stack(
+            [jax.random.split(jax.random.key(s), steps) for s in range(n_lanes)]
+        )
+        ms_epoch = make_multi_epoch(augment=True)
+
+        def ms_loop(reps):
+            s = stacked
+            out = jnp.float32(0.0)
+            for _ in range(int(reps)):
+                s, losses, _ = ms_epoch(
+                    s, imgs_full, labels_full, ms_pidx, ms_valid, ms_keys
+                )
+                out = losses[-1, -1]
+            jax.block_until_ready(out)
+            return out
+
+        record(
+            f"multiseed{n_lanes}_lane_steps_per_sec_bf16_batch{tb}",
+            measure_rate(
+                ms_loop, 1, 8, items_per_rep=steps * n_lanes, max_trials=8
+            ),
+        )
+
     # 4. host decode
     data_dir = CORPUS / "sans_label"
     if data_dir.exists():
@@ -451,6 +497,20 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
                     + (f" ≈ {pct:.0f}{unit}" if on_tpu else "")
                     + " | ref GPU: baseline 2.49 s total |"
                 )
+    ms_key = "multiseed8_lane_steps_per_sec_bf16_batch16"
+    if ms_key in results:
+        lane_rate = float(results[ms_key])
+        solo_key = "train_steps_per_sec_bf16_batch16"
+        gain = (
+            f" = {lane_rate / float(results[solo_key]):.1f}× the solo "
+            f"batch-16 steps/s (ideal 8×)"
+            if solo_key in results
+            else ""
+        )
+        lines.append(
+            f"| Train, 8-seed fan-out (bf16, batch 16/lane) | {fmt(ms_key)} "
+            f"lane-steps/s{gain} | — |"
+        )
     for label in ("native", "pil"):
         key = f"decode_{label}_imgs_per_sec"
         if key in results:
