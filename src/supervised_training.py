@@ -56,6 +56,13 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         "throughput mode; params/BN stats/loss/optimizer stay float32)",
     )
     parser.add_argument(
+        "--cv-folds", type=int, default=0,
+        help="stratified k-fold cross-validation before the main run: all "
+        "K folds train simultaneously as vmapped lanes (test split held "
+        "out); per-fold + mean/std metrics land in tables/cv_results.csv. "
+        "0 = off",
+    )
+    parser.add_argument(
         "--num-seeds", type=int, default=1,
         help="train this many independent seeds (seed, seed+1, ...) "
         "simultaneously in one vmapped program — one model per mesh device "
@@ -112,6 +119,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         resume=getattr(args, "resume", False),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         num_seeds=getattr(args, "num_seeds", 1),
+        cv_folds=getattr(args, "cv_folds", 0),
     )
 
 

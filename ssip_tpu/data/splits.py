@@ -49,6 +49,31 @@ def split_dict(
     return {"train": train, "val": val, "test": test}
 
 
+def stratified_kfold_indices(
+    targets: Sequence[int], k: int, seed: int
+) -> list[Tuple[np.ndarray, np.ndarray]]:
+    """K stratified folds: [(train_idx, val_idx)] covering every index once.
+
+    Per-class round-robin over a seeded shuffle, sklearn-StratifiedKFold-
+    style (each class's samples spread as evenly as possible across folds).
+    TPU extra — the reference has no cross-validation; used by the
+    ``--cv-folds`` fan-out, where each fold trains as one vmapped lane.
+    """
+    targets = np.asarray(targets, dtype=np.int64)
+    if not 2 <= k <= len(targets):
+        raise ValueError(f"cv folds must be in [2, n_samples], got {k}")
+    rng = host_rng(seed, "kfold")
+    fold_of = np.empty(len(targets), dtype=np.int64)
+    for cls in np.unique(targets):
+        idx = np.flatnonzero(targets == cls)
+        idx = idx[rng.permutation(len(idx))]
+        fold_of[idx] = np.arange(len(idx)) % k
+    all_idx = np.arange(len(targets))
+    return [
+        (all_idx[fold_of != f], all_idx[fold_of == f]) for f in range(k)
+    ]
+
+
 def balanced_sample_weights(labels: Sequence[int]) -> np.ndarray:
     """Per-sample weights 1/class-count; uniform if fewer than 2 classes."""
     labels = np.asarray(labels, dtype=np.int64)

@@ -150,6 +150,71 @@ def _train_baseline_multi_seed(
     return state, histories[best_lane], train_time
 
 
+def _run_cross_validation(
+    config: TrainingConfig, images, targets, splits, num_classes: int, mesh
+) -> None:
+    """--cv-folds: stratified k-fold CV over the train+val pool (test split
+    held out), all folds trained simultaneously as vmapped lanes. Writes
+    per-fold + mean/std validation metrics to tables/cv_results.csv."""
+    import pandas as pd
+
+    from ssip_tpu.data.splits import stratified_kfold_indices
+    from ssip_tpu.train.data import subset
+    from ssip_tpu.train.multi_seed import train_multi_seed
+
+    reg = config.artifacts
+    pool_idx = np.concatenate(
+        [np.asarray(splits["train"]), np.asarray(splits["val"])]
+    )
+    pool_ds = subset(images, targets, pool_idx)
+    folds = stratified_kfold_indices(
+        np.asarray(targets)[pool_idx], config.cv_folds, config.seed
+    )
+    states = [
+        build_classifier_state(config, num_classes, config.learning_rate)[0]
+        for _ in folds
+    ]
+    _, histories, summary = train_multi_seed(
+        states, pool_ds, pool_ds,
+        seeds=[config.seed] * len(folds),
+        num_epochs=config.baseline_epochs,
+        batch_size=config.batch_size,
+        stream_name="cv",
+        balanced=True,
+        augment=True,
+        early_stopping_patience=config.early_stopping_patience,
+        mesh=mesh,
+        lane_train_pools=[f[0] for f in folds],
+        lane_val_pools=[f[1] for f in folds],
+    )
+    rows = []
+    for f, (h, row, (tr, va)) in enumerate(zip(histories, summary, folds)):
+        best_ep = int(np.argmin(h["val_loss"]))
+        rows.append(
+            {
+                "fold": f,
+                "n_train": len(tr),
+                "n_val": len(va),
+                "best_val_loss": row["best_val_loss"],
+                "val_acc": h["val_acc"][best_ep],
+                "val_f1": h["val_f1"][best_ep],
+                "epochs_run": row["epochs_run"],
+                "stopped_early": row["stopped_early"],
+            }
+        )
+    df = pd.DataFrame(rows)
+    stats = ("best_val_loss", "val_acc", "val_f1")
+    rows.append({"fold": "mean", **{k: float(df[k].mean()) for k in stats}})
+    rows.append({"fold": "std", **{k: float(df[k].std(ddof=0)) for k in stats}})
+    reg.tables_dir.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(reg.cv_results_csv, index=False)
+    LOGGER.info(
+        "%d-fold CV: val_acc %.3f ± %.3f, val_f1 %.3f ± %.3f → %s",
+        len(folds), df["val_acc"].mean(), df["val_acc"].std(ddof=0),
+        df["val_f1"].mean(), df["val_f1"].std(ddof=0), reg.cv_results_csv,
+    )
+
+
 def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     from ssip_tpu.runtime.device import force_cpu_platform_if_requested
     from ssip_tpu.runtime.jaxconfig import setup_jax
@@ -158,7 +223,7 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     setup_jax()
     reg = config.artifacts
 
-    datasets, classes, splits, _, _ = prepare_datasets(config)
+    datasets, classes, splits, images, targets = prepare_datasets(config)
     if config.positive_class not in classes:
         raise ValueError(
             f"Positive class '{config.positive_class}' not found in dataset classes: {classes}"
@@ -167,6 +232,9 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
 
     mesh = config.build_mesh()
     LOGGER.info("Training mesh: %s", dict(mesh.shape))
+
+    if config.cv_folds >= 2:
+        _run_cross_validation(config, images, targets, splits, len(classes), mesh)
 
     if config.num_seeds > 1:
         state, history, train_time = _train_baseline_multi_seed(

@@ -71,6 +71,11 @@ class TrainingConfig:
     # vmapped program, seed axis sharded over the mesh data axis, and keep
     # the best-val-loss seed's model. 1 = reference behavior.
     num_seeds: int = 1
+    # stratified k-fold cross-validation (TPU extra): before the main run,
+    # train all K folds simultaneously (one vmapped lane per fold, test
+    # split held out) and write per-fold + mean/std validation metrics to
+    # tables/cv_results.csv. 0 = off (reference behavior).
+    cv_folds: int = 0
 
     def build_mesh(self):
         from ssip_tpu.parallel.mesh import training_mesh

@@ -126,6 +126,12 @@ class ArtifactRegistry:
         reference counterpart; train.multi_seed)."""
         return self.tables_dir / "seed_sweep.csv"
 
+    @property
+    def cv_results_csv(self) -> Path:
+        """Per-fold results of --cv-folds cross-validation (ours — no
+        reference counterpart; all folds train as one vmapped program)."""
+        return self.tables_dir / "cv_results.csv"
+
     # -- figures ------------------------------------------------------------
     @property
     def baseline_curves_png(self) -> Path:

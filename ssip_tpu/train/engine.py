@@ -294,6 +294,8 @@ def epoch_plan(
     balanced: bool,
     batch_size: int,
     row_width: Optional[int] = None,
+    pool: Optional[np.ndarray] = None,
+    num_samples: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, jax.Array]:
     """One epoch's deterministic plan: (pidx [steps,row], valid, keys [steps]).
 
@@ -302,13 +304,20 @@ def epoch_plan(
     driver (``train.multi_seed``) build their epochs through this function,
     so a multi-seed lane running seed ``s`` sees byte-identical batch orders
     and PRNG keys to a solo ``train_model(seed=s)`` run.
+
+    ``pool``: restrict sampling to these dataset indices (cross-validation
+    lanes train on their fold's subset of one shared device dataset); the
+    returned pidx are global indices. ``num_samples``: override the epoch
+    length (the CV fan-out pads every fold's epoch to the largest fold so
+    lane step counts stay uniform under vmap).
     """
+    labels = train_dataset.labels if pool is None else train_dataset.labels[pool]
+    n = len(labels) if num_samples is None else int(num_samples)
     if balanced:
         from ssip_tpu.data.splits import balanced_epoch_indices
 
         order = balanced_epoch_indices(
-            train_dataset.labels, seed=seed, epoch=epoch,
-            num_samples=len(train_dataset),
+            labels, seed=seed, epoch=epoch, num_samples=n,
         )
     else:
         from ssip_tpu.runtime.prng import host_rng
@@ -316,7 +325,11 @@ def epoch_plan(
         # host_rng folds the stream name through sha256 — stable across
         # processes, unlike Python's per-process-salted hash()
         rng = host_rng(seed, f"shuffle/{stream_name}/{epoch}")
-        order = rng.permutation(len(train_dataset))
+        order = rng.permutation(len(labels))
+        if num_samples is not None:
+            order = order[:n]
+    if pool is not None:
+        order = np.asarray(pool)[order]
     pidx, valid = _stacked_epoch(order, batch_size, row_width)
     keys = jnp.stack(
         [

@@ -43,6 +43,7 @@ from ssip_tpu.train.engine import (
     _step_core,
     epoch_plan,
     eval_epoch_fused,
+    eval_step,
 )
 
 LOGGER = get_logger(__name__)
@@ -154,6 +155,30 @@ def eval_epoch_multi(apply_fn, params, batch_stats, images, labels, valid):
     return jax.vmap(fn)(params, batch_stats)
 
 
+@partial(jax.jit, static_argnames="apply_fn")
+def eval_epoch_multi_gather(
+    apply_fn, params, batch_stats, images_full, labels_full, vpidx, vvalid
+):
+    """Per-lane eval over PER-LANE index sets into one shared dataset.
+
+    The cross-validation shape: each lane's validation fold differs, so the
+    lane gathers its own batches from the shared device-resident images
+    (``vpidx``/``vvalid`` are [lanes, steps, row]; fully-padded steps carry
+    valid=False everywhere and are averaged out by the caller)."""
+
+    def lane(p, b, pidx, valid):
+        def body(_, xs):
+            idx, val = xs
+            u8 = jnp.take(images_full, idx, axis=0)
+            lab = jnp.take(labels_full, idx, axis=0)
+            return None, eval_step(apply_fn, p, b, u8, lab, val)
+
+        _, out = jax.lax.scan(body, None, (pidx, valid))
+        return out
+
+    return jax.vmap(lane)(params, batch_stats, vpidx, vvalid)
+
+
 def _lane_shardings(mesh, n_lanes: int):
     """(lane-sharded, replicated) NamedShardings, or (None, None) if the
     lane count doesn't divide the mesh's data axis."""
@@ -254,6 +279,8 @@ def train_multi_seed(
     plateau_factor: float = 0.5,
     trainable_mask: Optional[Any] = None,
     mesh=None,
+    lane_train_pools: Optional[Sequence[np.ndarray]] = None,
+    lane_val_pools: Optional[Sequence[np.ndarray]] = None,
 ) -> Tuple[TrainState, List[Dict[str, List[float]]], List[Dict[str, Any]]]:
     """Train ``len(seeds)`` independent models simultaneously.
 
@@ -264,31 +291,63 @@ def train_multi_seed(
     epoch), and ``summary`` is one row per lane (seed, best_val_loss,
     epochs_run, stopped_early, final_lr).
 
+    ``lane_train_pools`` / ``lane_val_pools``: per-lane index sets into
+    ``train_dataset`` — the cross-validation shape (one fold per lane, all
+    folds trained simultaneously). Every lane's epoch is padded to the
+    largest fold so step counts stay uniform under vmap; when set,
+    ``val_dataset`` is ignored and validation gathers from
+    ``train_dataset`` through each lane's own indices.
+
     Control-flow parity anchor: reference src/training/common.py:345-432 —
     identical plateau (rel 1e-4, factor/patience), early-stop, and
     best-state semantics as ``train_model``, vectorized over lanes.
     """
     n_lanes = len(states)
     assert n_lanes == len(seeds) and n_lanes >= 1
+    assert lane_train_pools is None or len(lane_train_pools) == n_lanes
+    assert (lane_val_pools is None) == (lane_train_pools is None), (
+        "lane_train_pools and lane_val_pools come together (CV mode)"
+    )
+    train_samples = (
+        None
+        if lane_train_pools is None
+        else max(len(p) for p in lane_train_pools)
+    )
 
     multi_epoch = make_multi_epoch(augment=augment, trainable_mask=trainable_mask)
     stacked = stack_states(states)
     lane_sh, rep_sh = _lane_shardings(mesh, n_lanes)
     images_full = train_dataset.images_u8
     labels_full = train_dataset.labels_dev
-    # pre-gather the (in-order, shared across lanes) eval epoch once
-    vpidx, vvalid = _stacked_epoch(np.arange(len(val_dataset)), batch_size)
-    vimages = val_dataset.images_u8[jnp.asarray(vpidx)]
-    vlabels = val_dataset.labels_dev[jnp.asarray(vpidx)]
-    vvalid_dev = jnp.asarray(vvalid)
+    if lane_val_pools is None:
+        # pre-gather the (in-order, shared across lanes) eval epoch once
+        vpidx, vvalid = _stacked_epoch(np.arange(len(val_dataset)), batch_size)
+        vimages = val_dataset.images_u8[jnp.asarray(vpidx)]
+        vlabels = val_dataset.labels_dev[jnp.asarray(vpidx)]
+        vvalid_dev = jnp.asarray(vvalid)
+    else:
+        # per-lane val folds, padded to uniform step count with inert steps
+        per = [_stacked_epoch(np.asarray(p), batch_size) for p in lane_val_pools]
+        vsteps = max(x[0].shape[0] for x in per)
+        vpidx = np.zeros((n_lanes, vsteps, batch_size), np.int64)
+        vvalid = np.zeros((n_lanes, vsteps, batch_size), bool)
+        for s, (pi, va) in enumerate(per):
+            vpidx[s, : pi.shape[0]] = pi
+            vvalid[s, : va.shape[0]] = va
+        vpidx_dev = jnp.asarray(vpidx)
+        vvalid_dev = jnp.asarray(vvalid)
     if lane_sh is not None:
         place = lambda sh: (lambda x: jax.device_put(x, sh))
         stacked = jax.tree.map(place(lane_sh), stacked)
         images_full = jax.device_put(images_full, rep_sh)
         labels_full = jax.device_put(labels_full, rep_sh)
-        vimages = jax.device_put(vimages, rep_sh)
-        vlabels = jax.device_put(vlabels, rep_sh)
-        vvalid_dev = jax.device_put(vvalid_dev, rep_sh)
+        if lane_val_pools is None:
+            vimages = jax.device_put(vimages, rep_sh)
+            vlabels = jax.device_put(vlabels, rep_sh)
+            vvalid_dev = jax.device_put(vvalid_dev, rep_sh)
+        else:
+            vpidx_dev = jax.device_put(vpidx_dev, lane_sh)
+            vvalid_dev = jax.device_put(vvalid_dev, lane_sh)
 
     histories: List[Dict[str, List[float]]] = [
         {
@@ -311,6 +370,8 @@ def train_multi_seed(
                 train_dataset, seed=seeds[s], epoch=epoch,
                 stream_name=stream_name, balanced=balanced,
                 batch_size=batch_size,
+                pool=None if lane_train_pools is None else lane_train_pools[s],
+                num_samples=train_samples,
             )
             for s in range(n_lanes)
         ]
@@ -327,23 +388,40 @@ def train_multi_seed(
         stacked, losses, preds = multi_epoch(
             stacked, images_full, labels_full, pidx_dev, valid_dev, keys
         )
-        vlosses, vpreds, _vprobs = eval_epoch_multi(
-            stacked.apply_fn, stacked.params, stacked.batch_stats,
-            vimages, vlabels, vvalid_dev,
-        )
+        if lane_val_pools is None:
+            vlosses, vpreds, _vprobs = eval_epoch_multi(
+                stacked.apply_fn, stacked.params, stacked.batch_stats,
+                vimages, vlabels, vvalid_dev,
+            )
+        else:
+            vlosses, vpreds, _vprobs = eval_epoch_multi_gather(
+                stacked.apply_fn, stacked.params, stacked.batch_stats,
+                images_full, labels_full, vpidx_dev, vvalid_dev,
+            )
 
         losses = np.asarray(losses)
         preds = np.asarray(preds)
         vlosses = np.asarray(vlosses)
         vpreds = np.asarray(vpreds)
         valid_flat = valid.reshape(-1)
-        vvalid_flat = vvalid.reshape(-1)
-        y_true_val = val_dataset.labels
 
         was_active = ~ctl.stopped
         val_loss_vec = np.full(n_lanes, math.inf)
         for s in np.flatnonzero(was_active):
-            val_loss_vec[s] = float(vlosses[s].mean())
+            if lane_val_pools is None:
+                vvalid_s, vpidx_s = vvalid, vpidx
+                val_loss_vec[s] = float(vlosses[s].mean())
+                y_true_val = val_dataset.labels
+            else:
+                vvalid_s, vpidx_s = vvalid[s], vpidx[s]
+                # mean of per-batch means over this lane's NON-EMPTY steps
+                # (padded steps report loss 0 and must not dilute the mean)
+                nonempty = vvalid_s.any(axis=1)
+                val_loss_vec[s] = float(vlosses[s][nonempty].mean())
+                y_true_val = train_dataset.labels[
+                    vpidx_s.reshape(-1)[vvalid_s.reshape(-1)]
+                ]
+            vvalid_flat = vvalid_s.reshape(-1)
             y_true_cat = train_dataset.labels[pidx[s].reshape(-1)[valid_flat]]
             y_pred_cat = preds[s].reshape(-1)[valid_flat]
             train_acc, train_f1 = accuracy_f1(y_true_cat, y_pred_cat)

@@ -297,6 +297,158 @@ def test_supervised_pipeline_num_seeds(tmp_path):
     assert len(hist["baseline"]["val_loss"]) == sel_epochs
 
 
+def test_stratified_kfold_partition():
+    """Every index lands in exactly one val fold; classes spread evenly."""
+    from ssip_tpu.data.splits import stratified_kfold_indices
+
+    targets = np.r_[np.zeros(25, np.int64), np.ones(15, np.int64)]
+    folds = stratified_kfold_indices(targets, 5, seed=42)
+    all_val = np.concatenate([v for _, v in folds])
+    assert sorted(all_val.tolist()) == list(range(40))
+    for tr, va in folds:
+        assert sorted(np.concatenate([tr, va]).tolist()) == list(range(40))
+        # stratification: each fold's val has 5 of class 0, 3 of class 1
+        assert (targets[va] == 0).sum() == 5
+        assert (targets[va] == 1).sum() == 3
+    # deterministic
+    folds2 = stratified_kfold_indices(targets, 5, seed=42)
+    for (a, b), (c, d) in zip(folds, folds2):
+        np.testing.assert_array_equal(a, c)
+        np.testing.assert_array_equal(b, d)
+    with pytest.raises(ValueError):
+        stratified_kfold_indices(targets, 1, seed=0)
+
+
+def test_cv_lanes_match_solo_fold_runs():
+    """CV mode: each fold-lane reproduces a solo train_model run on that
+    fold's subset datasets (equal-size folds → identical sampling streams;
+    the pool indirection only changes WHICH rows the shared dataset
+    gathers)."""
+    from ssip_tpu.data.splits import stratified_kfold_indices
+
+    rng = np.random.default_rng(0)
+    n = 32
+    labels = (np.arange(n) % 2).astype(np.int64)
+    imgs = np.where(
+        labels[:, None, None, None] == 1,
+        rng.integers(160, 255, (n, IMG, IMG, 3)),
+        rng.integers(0, 96, (n, IMG, IMG, 3)),
+    ).astype(np.uint8)
+    full = DeviceDataset.create(jnp.asarray(imgs), labels)
+    folds = stratified_kfold_indices(labels, 2, seed=7)
+    assert len(folds[0][1]) == len(folds[1][1])  # equal-size folds
+
+    states = [_fresh_state(0), _fresh_state(0)]
+    _, histories, summary = train_multi_seed(
+        states, full, full,
+        seeds=[42, 42], num_epochs=2, batch_size=8,
+        stream_name="cvtest", balanced=True, augment=True,
+        lane_train_pools=[f[0] for f in folds],
+        lane_val_pools=[f[1] for f in folds],
+    )
+
+    for lane, (tr, va) in enumerate(folds):
+        solo_train = DeviceDataset.create(jnp.asarray(imgs[tr]), labels[tr])
+        solo_val = DeviceDataset.create(jnp.asarray(imgs[va]), labels[va])
+        _, solo_hist = train_model(
+            _fresh_state(0), solo_train, solo_val,
+            num_epochs=2, batch_size=8, seed=42,
+            stream_name="cvtest", balanced=True, augment=True,
+        )
+        for key in ("train_loss", "val_loss"):
+            np.testing.assert_allclose(
+                histories[lane][key][0], solo_hist[key][0], rtol=1e-4,
+                err_msg=f"fold {lane} {key}[0]",
+            )
+            np.testing.assert_allclose(
+                histories[lane][key][1], solo_hist[key][1], rtol=5e-2,
+                err_msg=f"fold {lane} {key}[1]",
+            )
+        for key in ("val_acc", "val_f1"):
+            np.testing.assert_allclose(
+                histories[lane][key][0], solo_hist[key][0],
+                err_msg=f"fold {lane} {key}[0]",
+            )
+    # the two folds see different data, so their trajectories differ
+    assert not np.allclose(
+        histories[0]["val_loss"], histories[1]["val_loss"]
+    )
+
+
+def test_cv_unequal_folds_padding_inert():
+    """3 folds over 20 samples (8/6/6 val — remainders land in the first
+    fold, per class, like sklearn): padded epochs and padded val steps stay
+    inert — finite losses, per-fold val metrics over exactly that fold's
+    samples."""
+    from ssip_tpu.data.splits import stratified_kfold_indices
+
+    rng = np.random.default_rng(1)
+    n = 20
+    labels = (np.arange(n) % 2).astype(np.int64)
+    imgs = rng.integers(0, 255, (n, IMG, IMG, 3), dtype=np.uint8)
+    full = DeviceDataset.create(jnp.asarray(imgs), labels)
+    folds = stratified_kfold_indices(labels, 3, seed=1)
+    sizes = sorted(len(v) for _, v in folds)
+    assert sizes == [6, 6, 8]
+
+    states = [_fresh_state(0) for _ in folds]
+    _, histories, summary = train_multi_seed(
+        states, full, full,
+        seeds=[42] * 3, num_epochs=2, batch_size=8,
+        stream_name="cvpad", balanced=True, augment=True,
+        lane_train_pools=[f[0] for f in folds],
+        lane_val_pools=[f[1] for f in folds],
+    )
+    for h, row in zip(histories, summary):
+        assert np.isfinite(h["val_loss"]).all()
+        assert np.isfinite(h["train_loss"]).all()
+        assert 0.0 <= h["val_acc"][0] <= 1.0
+        assert np.isfinite(row["best_val_loss"])
+
+
+def test_supervised_pipeline_cv_folds(tmp_path):
+    """--cv-folds through the supervised pipeline: cv_results.csv lands
+    with per-fold rows plus mean/std, and the main run still completes."""
+    from PIL import Image
+
+    from ssip_tpu.pipelines.supervised import run_supervised
+    from ssip_tpu.pipelines.train_config import TrainingConfig
+
+    gen = np.random.default_rng(6)
+    root = tmp_path / "ds"
+    for cls, lo, hi in (("cancer", 150, 255), ("normal", 0, 100)):
+        d = root / "avec_labels" / cls
+        d.mkdir(parents=True)
+        for i in range(10):
+            Image.fromarray(
+                gen.integers(lo, hi, (48, 48, 3), dtype=np.uint8)
+            ).save(d / f"{cls}_{i:02d}.jpg")
+
+    out = tmp_path / "outputs"
+    results = run_supervised(
+        TrainingConfig(
+            strong_data_dir=root / "avec_labels",
+            batch_size=8,
+            image_size=32,
+            baseline_epochs=2,
+            output_dir=out,
+            device="cpu",
+            cv_folds=2,
+        )
+    )
+    assert "baseline_thresholded" in results
+    import pandas as pd
+
+    cv = pd.read_csv(out / "tables" / "cv_results.csv")
+    assert cv["fold"].tolist() == ["0", "1", "mean", "std"]
+    fold_rows = cv.iloc[:2]
+    assert fold_rows["n_val"].astype(int).sum() == 16  # train+val pool
+    mean_row = cv[cv["fold"] == "mean"].iloc[0]
+    np.testing.assert_allclose(
+        mean_row["val_acc"], fold_rows["val_acc"].mean(), rtol=1e-6
+    )
+
+
 def test_stack_and_index_roundtrip():
     states = [_fresh_state(s) for s in (0, 1, 2)]
     stacked = stack_states(states)
