@@ -62,6 +62,14 @@ def stratified_kfold_indices(
     targets = np.asarray(targets, dtype=np.int64)
     if not 2 <= k <= len(targets):
         raise ValueError(f"cv folds must be in [2, n_samples], got {k}")
+    max_class = int(np.bincount(targets).max())
+    if k > max_class:
+        # with per-class round-robin, folds beyond the largest class count
+        # would have ZERO validation samples (NaN metrics downstream)
+        raise ValueError(
+            f"cv folds ({k}) exceeds the largest class count ({max_class}); "
+            "every fold needs at least one validation sample"
+        )
     rng = host_rng(seed, "kfold")
     fold_of = np.empty(len(targets), dtype=np.int64)
     for cls in np.unique(targets):

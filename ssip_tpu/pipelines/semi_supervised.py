@@ -160,6 +160,15 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     mesh = config.build_mesh()
     LOGGER.info("Training mesh: %s", dict(mesh.shape))
 
+    if config.cv_folds:
+        if config.cv_folds < 2:
+            raise ValueError(
+                f"--cv-folds must be >= 2 (or 0 to disable), got {config.cv_folds}"
+            )
+        from ssip_tpu.pipelines.supervised import _run_cross_validation
+
+        _run_cross_validation(config, datasets, len(classes), mesh)
+
     # ---- Phase A: baseline ------------------------------------------------
     if config.num_seeds > 1:
         # seed fan-out (TPU extra): the best-of-N baseline also becomes the

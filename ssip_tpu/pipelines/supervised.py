@@ -151,24 +151,36 @@ def _train_baseline_multi_seed(
 
 
 def _run_cross_validation(
-    config: TrainingConfig, images, targets, splits, num_classes: int, mesh
+    config: TrainingConfig, datasets, num_classes: int, mesh
 ) -> None:
     """--cv-folds: stratified k-fold CV over the train+val pool (test split
     held out), all folds trained simultaneously as vmapped lanes. Writes
     per-fold + mean/std validation metrics to tables/cv_results.csv."""
+    import jax.numpy as _jnp
     import pandas as pd
 
     from ssip_tpu.data.splits import stratified_kfold_indices
-    from ssip_tpu.train.data import subset
+    from ssip_tpu.parallel.mesh import MODEL_AXIS
     from ssip_tpu.train.multi_seed import train_multi_seed
 
     reg = config.artifacts
-    pool_idx = np.concatenate(
-        [np.asarray(splits["train"]), np.asarray(splits["val"])]
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) != 1:
+        LOGGER.warning(
+            "--cv-folds repurposes the mesh data axis for the fold fan-out "
+            "and cannot combine with --mesh-model; running CV lanes "
+            "unsharded (the main run keeps its tensor-parallel mesh)"
+        )
+        mesh = None
+    # the train+val images are already device-resident — concatenate on
+    # device instead of re-uploading through the (slow) host→device link
+    pool_ds = DeviceDataset.create(
+        _jnp.concatenate(
+            [datasets["train"].images_u8, datasets["val"].images_u8]
+        ),
+        np.concatenate([datasets["train"].labels, datasets["val"].labels]),
     )
-    pool_ds = subset(images, targets, pool_idx)
     folds = stratified_kfold_indices(
-        np.asarray(targets)[pool_idx], config.cv_folds, config.seed
+        pool_ds.labels, config.cv_folds, config.seed
     )
     states = [
         build_classifier_state(config, num_classes, config.learning_rate)[0]
@@ -223,7 +235,7 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     setup_jax()
     reg = config.artifacts
 
-    datasets, classes, splits, images, targets = prepare_datasets(config)
+    datasets, classes, splits, _, _ = prepare_datasets(config)
     if config.positive_class not in classes:
         raise ValueError(
             f"Positive class '{config.positive_class}' not found in dataset classes: {classes}"
@@ -233,8 +245,12 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     mesh = config.build_mesh()
     LOGGER.info("Training mesh: %s", dict(mesh.shape))
 
-    if config.cv_folds >= 2:
-        _run_cross_validation(config, images, targets, splits, len(classes), mesh)
+    if config.cv_folds:
+        if config.cv_folds < 2:
+            raise ValueError(
+                f"--cv-folds must be >= 2 (or 0 to disable), got {config.cv_folds}"
+            )
+        _run_cross_validation(config, datasets, len(classes), mesh)
 
     if config.num_seeds > 1:
         state, history, train_time = _train_baseline_multi_seed(

@@ -327,7 +327,8 @@ def epoch_plan(
         rng = host_rng(seed, f"shuffle/{stream_name}/{epoch}")
         order = rng.permutation(len(labels))
         if num_samples is not None:
-            order = order[:n]
+            # truncate or cycle-pad to n so lane step counts stay uniform
+            order = np.resize(order, n)
     if pool is not None:
         order = np.asarray(pool)[order]
     pidx, valid = _stacked_epoch(order, batch_size, row_width)

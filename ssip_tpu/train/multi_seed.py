@@ -308,6 +308,10 @@ def train_multi_seed(
     assert (lane_val_pools is None) == (lane_train_pools is None), (
         "lane_train_pools and lane_val_pools come together (CV mode)"
     )
+    if lane_val_pools is not None and any(len(p) == 0 for p in lane_val_pools):
+        # an empty val fold would yield a NaN lane loss and garbage control
+        # flow — fail loudly instead
+        raise ValueError("every lane's validation pool must be non-empty")
     train_samples = (
         None
         if lane_train_pools is None

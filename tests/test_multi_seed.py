@@ -317,6 +317,45 @@ def test_stratified_kfold_partition():
         np.testing.assert_array_equal(b, d)
     with pytest.raises(ValueError):
         stratified_kfold_indices(targets, 1, seed=0)
+    # k beyond the largest class count would create empty val folds
+    tiny = np.repeat(np.arange(5), 2)  # 5 classes x 2 samples
+    with pytest.raises(ValueError, match="largest class count"):
+        stratified_kfold_indices(tiny, 4, seed=0)
+
+
+def test_epoch_plan_pool_padding_uniform():
+    """balanced=False with unequal pools: epochs cycle-pad to num_samples so
+    lane step counts stay uniform; all indices come from the pool."""
+    from ssip_tpu.train.engine import epoch_plan
+
+    rng = np.random.default_rng(2)
+    ds = DeviceDataset.create(
+        jnp.asarray(rng.integers(0, 255, (12, IMG, IMG, 3), dtype=np.uint8)),
+        (np.arange(12) % 2).astype(np.int64),
+    )
+    pools = [np.array([0, 1, 2, 3]), np.array([4, 5, 6, 7, 8, 9])]
+    shapes = set()
+    for pool in pools:
+        for balanced in (True, False):
+            pidx, valid, keys = epoch_plan(
+                ds, seed=0, epoch=0, stream_name="t", balanced=balanced,
+                batch_size=4, pool=pool, num_samples=6,
+            )
+            shapes.add(pidx.shape)
+            assert set(pidx[valid].tolist()) <= set(pool.tolist())
+    assert len(shapes) == 1  # uniform [steps, row] across pools and modes
+
+
+def test_empty_val_pool_rejected():
+    datasets = _toy_datasets()
+    with pytest.raises(ValueError, match="non-empty"):
+        train_multi_seed(
+            [_fresh_state(0), _fresh_state(1)],
+            datasets[0], datasets[0],
+            seeds=[0, 1], num_epochs=1, batch_size=8, stream_name="t",
+            lane_train_pools=[np.arange(4), np.arange(4)],
+            lane_val_pools=[np.arange(4), np.array([], np.int64)],
+        )
 
 
 def test_cv_lanes_match_solo_fold_runs():
