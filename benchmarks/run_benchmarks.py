@@ -255,6 +255,41 @@ def main() -> None:
             max(LO + 1, HI // 2), raw=True,
         )
 
+        # ViT-B/16 bf16 (models/vit.py): all-matmul encoder, fused Pallas
+        # attention on TPU (ops/attention.py). ~4.6× the ResNet-18 FLOPs
+        # per image, but nearly all of them land on the MXU as large GEMMs.
+        from ssip_tpu.models import MODEL_FACTORIES
+
+        vit = MODEL_FACTORIES["vit_b16"](
+            num_classes=None, compute_dtype=jnp.bfloat16
+        )
+        vit_host = seeded_init_host(vit, 42, (1, 224, 224, 3))
+        try:
+            embed_variant(
+                "bf16_vit_b16",
+                lambda v, x: vit.apply(v, x, train=False),
+                jax.device_put(vit_host),
+                jnp.bfloat16,
+                max(LO + 1, HI // 2),
+            )
+        except Exception as exc:  # first Mosaic run of ops/attention.py —
+            # don't let a kernel-lowering failure sink the whole harness;
+            # SSIP_ATTN_PALLAS=0 is the XLA-path escape hatch
+            log(f"bf16_vit_b16 FAILED ({exc}); retrying with SSIP_ATTN_PALLAS=0")
+            import os as _os
+
+            _os.environ["SSIP_ATTN_PALLAS"] = "0"
+            try:
+                embed_variant(
+                    "bf16_vit_b16_xla_attn",
+                    lambda v, x: vit.apply(v, x, train=False),
+                    jax.device_put(vit_host),
+                    jnp.bfloat16,
+                    max(LO + 1, HI // 2),
+                )
+            finally:
+                _os.environ.pop("SSIP_ATTN_PALLAS", None)
+
     # 3. train step/sec (fused epochs): f32 reference-parity mode and the
     #    bf16 throughput mode (--compute-dtype bfloat16; params/BN/loss f32)
     from ssip_tpu.train.engine import TrainState, make_fused_epoch, make_optimizer

@@ -34,10 +34,11 @@ def parse_args(argv=None) -> argparse.Namespace:
         default="float32"
     )
     parser.add_argument(
-        "--arch", choices=["resnet18", "resnet34", "resnet50"],
+        "--arch",
+        choices=["resnet18", "resnet34", "resnet50", "vit_t16", "vit_s16", "vit_b16"],
         default="resnet18",
         help="backbone architecture (reference uses frozen resnet18; "
-        "resnet50 yields 2048-D embeddings)",
+        "resnet50 yields 2048-D embeddings, vit_b16 768-D class tokens)",
     )
     parser.add_argument("--no-cache", action="store_true", help="skip decode cache")
     parser.add_argument(

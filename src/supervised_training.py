@@ -40,10 +40,12 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         help="snapshot TrainState every epoch and resume an interrupted run",
     )
     parser.add_argument(
-        "--arch", choices=["resnet18", "resnet34", "resnet50"],
+        "--arch",
+        choices=["resnet18", "resnet34", "resnet50", "vit_t16", "vit_s16", "vit_b16"],
         default="resnet18",
         help="backbone architecture (recorded in artifacts so "
-        "threshold_sweep/predict rebuild the right model)",
+        "threshold_sweep/predict rebuild the right model); vit_* need "
+        "--image-size divisible by 16",
     )
     parser.add_argument(
         "--mesh-model", type=int, default=1,

@@ -99,6 +99,11 @@ def build_serving_fn_int8(arch: str):
     from ssip_tpu.models.resnet import MODEL_STAGES
     from ssip_tpu.ops.augment import eval_preprocess
 
+    if arch not in MODEL_STAGES:
+        raise ValueError(
+            f"int8 export covers the ResNet family only, got --arch {arch}; "
+            "export the ViT archs with --compute-dtype bfloat16"
+        )
     q_apply = make_quantized_apply(
         MODEL_STAGES[arch], bottleneck=arch == "resnet50"
     )
@@ -124,6 +129,11 @@ def quantized_serving_bundle(variables, calibration_u8, arch: str):
     from ssip_tpu.models.resnet import MODEL_STAGES
     from ssip_tpu.ops.augment import eval_preprocess
 
+    if arch not in MODEL_STAGES:
+        raise ValueError(
+            f"int8 export covers the ResNet family only, got --arch {arch}; "
+            "export the ViT archs with --compute-dtype bfloat16"
+        )
     if "fc" not in variables.get("params", {}):
         raise ValueError(
             "int8 export needs a classifier checkpoint (no 'fc' head found)"

@@ -39,8 +39,10 @@ def seeded_init_host(model, seed: int, input_shape=(1, 224, 224, 3)) -> Dict[str
             fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else shape[0]
             std = float(np.sqrt(1.0 / max(fan_in, 1)))
             return rng.normal(0.0, std, size=shape).astype(np.float32)
+        if name == "pos_embedding":  # ViT: torch inits normal(std=0.02)
+            return rng.normal(0.0, 0.02, size=shape).astype(np.float32)
         if name in ("scale", "var"):
             return np.ones(shape, np.float32)
-        return np.zeros(shape, np.float32)  # bias, mean
+        return np.zeros(shape, np.float32)  # bias, mean, cls_token
 
     return jax.tree_util.tree_map_with_path(materialize, shapes)

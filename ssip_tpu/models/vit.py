@@ -1,0 +1,172 @@
+"""TPU-native Vision Transformer family (torchvision-compatible topology).
+
+A TPU-extra backbone family beyond the reference's ResNet-18 (the reference's
+entire model surface is ``torchvision.models.resnet18`` — reference
+src/feature_extraction.py:210-227 and src/training/common.py:299-304). The
+ViT maps even better onto the MXU than the CNN: the whole network is dense
+matmuls (patch embedding lowers to one [B·tokens, p²·3]×[p²·3, D] GEMM;
+attention and MLP are GEMMs), there is no BatchNorm (LayerNorm statistics
+are per-sample, so padded batch rows need no masking and data-parallel
+training is trivially device-count invariant), and the attention core runs
+as a fused Pallas kernel on TPU (``ssip_tpu.ops.attention``).
+
+Topology matches ``torchvision.models.vision_transformer.VisionTransformer``
+exactly so torch checkpoints port mechanically (models/port_torch.py):
+
+    conv_proj (patch conv, bias)  →  prepend class token  →  + pos_embedding
+    → N × [ln_1 → MHA → +res → ln_2 → Linear/GELU(exact)/Linear → +res]
+    → final ln → features = token 0 → fc head
+
+Naming notes: the classifier head is ``fc`` (not torchvision's
+``heads.head``) so the training engine's head-only freezing and the fc
+tensor-parallel rule apply unchanged; the q/k/v projections are one fused
+``qkv`` Dense (one wide MXU GEMM; torch's in_proj_weight transposes straight
+into it).
+
+Mixed precision follows the repo convention: params, LayerNorm math, and the
+final features stay f32; matmul activations run in ``compute_dtype``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ssip_tpu.ops.attention import fused_attention
+
+LN_EPS = 1e-6  # torchvision ViT's norm_layer = partial(LayerNorm, eps=1e-6)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm transformer encoder block (torchvision EncoderBlock)."""
+
+    num_heads: int
+    mlp_dim: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, s, d = x.shape
+        if d % self.num_heads != 0:
+            raise ValueError(f"hidden dim {d} not divisible by {self.num_heads} heads")
+        dh = d // self.num_heads
+
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_1")(
+            x.astype(jnp.float32)
+        ).astype(self.compute_dtype)
+        qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(y)
+        qkv = qkv.reshape(b, s, 3, self.num_heads, dh)
+        q, k, v = (
+            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+        )  # each [B, H, S, Dh]
+        o = fused_attention(q, k, v)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
+        o = nn.Dense(d, dtype=self.compute_dtype, name="out")(o)
+        x = x + o.astype(x.dtype)
+
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_2")(
+            x.astype(jnp.float32)
+        ).astype(self.compute_dtype)
+        y = nn.Dense(self.mlp_dim, dtype=self.compute_dtype, name="mlp_1")(y)
+        # torch nn.GELU default is the exact erf form, not tanh
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(d, dtype=self.compute_dtype, name="mlp_2")(y)
+        return x + y.astype(x.dtype)
+
+
+class VisionTransformer(nn.Module):
+    """torchvision-topology ViT; same call signature as models.ResNet.
+
+    ``num_classes=None`` yields the feature-extractor head (the final-LN
+    class token, ``hidden_dim``-D). ``mask`` is accepted for engine
+    compatibility and ignored — LayerNorm is per-sample, so padded rows
+    cannot contaminate valid rows (the reason ResNet needs MaskedBatchNorm).
+    """
+
+    patch_size: int = 16
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    num_classes: Optional[int] = None
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        return_features: bool = False,
+        mask: Optional[jnp.ndarray] = None,
+    ):
+        del train, mask  # no dropout (torchvision default 0.0), no batch stats
+        b, h, w, c = x.shape
+        p = self.patch_size
+        if h % p or w % p:
+            raise ValueError(
+                f"image size {h}x{w} not divisible by patch size {p}"
+            )
+        x = nn.Conv(
+            self.hidden_dim, (p, p), strides=(p, p), use_bias=True,
+            dtype=self.compute_dtype, name="conv_proj",
+        )(x.astype(self.compute_dtype))
+        x = x.reshape(b, -1, self.hidden_dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.hidden_dim), jnp.float32
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.hidden_dim)).astype(x.dtype), x],
+            axis=1,
+        )
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (1, x.shape[1], self.hidden_dim),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+
+        for i in range(self.num_layers):
+            x = EncoderBlock(
+                num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+                compute_dtype=self.compute_dtype, name=f"block{i}",
+            )(x)
+
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32)
+        )
+        features = x[:, 0]  # class token, f32
+        if self.num_classes is None:
+            return features
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(features)
+        if return_features:
+            return logits, features
+        return logits
+
+
+# (hidden, layers, heads, mlp). b16 is torchvision vit_b_16; s16/t16 follow
+# the standard ViT-S/Ti recipe (DeiT) with the same 64-wide heads.
+VIT_CONFIGS = {
+    "vit_b16": dict(hidden_dim=768, num_layers=12, num_heads=12, mlp_dim=3072),
+    "vit_s16": dict(hidden_dim=384, num_layers=12, num_heads=6, mlp_dim=1536),
+    "vit_t16": dict(hidden_dim=192, num_layers=12, num_heads=3, mlp_dim=768),
+}
+
+
+def _factory(name: str):
+    cfg = VIT_CONFIGS[name]
+
+    def make(num_classes: Optional[int] = None, compute_dtype: Any = jnp.float32):
+        return VisionTransformer(
+            num_classes=num_classes, compute_dtype=compute_dtype, **cfg
+        )
+
+    make.__name__ = name
+    return make
+
+
+VIT_FACTORIES = {name: _factory(name) for name in VIT_CONFIGS}

@@ -1,0 +1,131 @@
+"""Fused multi-head attention for the ViT family (Pallas TPU + XLA fallback).
+
+XLA has no flash-style attention fusion: the unfused path materializes the
+[B, H, S, S] attention-probability tensor in HBM twice per layer (softmax
+write + second-matmul read). At ViT-B/224 (S=197, 12 heads, 12 layers) that
+is the dominant non-matmul HBM traffic of the encoder. The Pallas kernel
+keeps one (batch, head)'s whole score matrix in VMEM — QK^T, masked softmax,
+and PV run back-to-back on the MXU/VPU with only Q/K/V/O touching HBM.
+
+ViT sequences are short (197 tokens at 224²/16), so one VMEM-resident block
+per (batch, head) is the right shape — no online-softmax tiling needed. The
+kernel pads S to the 128-lane boundary and masks padded KEYS to -1e30 before
+the softmax; padded QUERY rows compute garbage that the caller slices off.
+Sequences longer than ``_MAX_FUSED_SEQ`` fall back to the XLA path (their
+score matrix would not fit VMEM; none of our models hit this).
+
+The XLA path is the portable reference: CPU/GPU always use it, tests assert
+the kernel against it in interpret mode, and ``SSIP_ATTN_PALLAS=0`` forces
+it on TPU (the same escape-hatch convention as SSIP_ROTATE_BLOCKED).
+
+Reference anchor: the reference has no attention anywhere (its model is a
+CNN — reference src/training/common.py:299-304); this op exists for the
+TPU-extra ViT backbone family (ssip_tpu.models.vit).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# beyond this padded length the [S, S] f32 score block (S² · 4 bytes) plus
+# q/k/v/o no longer sits comfortably in ~16 MB VMEM
+_MAX_FUSED_SEQ = 1024
+_NEG_INF = np.float32(-1e30)  # finite: keeps max-subtraction NaN-free
+
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Reference scaled-dot-product attention.
+
+    q, k, v: [B, H, S, Dh] (any float dtype). Scores and softmax run in f32
+    (the MXU accumulates f32 regardless; this pins the VPU math too), the
+    PV matmul takes the probabilities back at the input dtype.
+    """
+    dh = q.shape[-1]
+    scale = np.float32(1.0 / np.sqrt(dh))
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
+    """One (batch·head): q/k/v_ref [1, S_pad, Dh]; o_ref [1, S_pad, Dh]."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    # contract the Dh axes directly — no VMEM transpose of k
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * np.float32(scale)
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _attention_pallas(
+    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+) -> jax.Array:
+    b, h, s, dh = q.shape
+    s_pad = max(128, -(-s // 128) * 128)
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        return x.reshape(b * h, s_pad, dh)
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    spec = pl.BlockSpec(
+        (1, s_pad, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_attn_kernel, kv_len=s, scale=1.0 / float(np.sqrt(dh))),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, dh), q.dtype),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_pad * s_pad * dh,
+            bytes_accessed=4 * b * h * s_pad * dh * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, s_pad, dh)[:, :, :s, :]
+
+
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head attention, Pallas-fused on TPU, XLA elsewhere.
+
+    ``use_pallas=None`` resolves at trace time: TPU backend AND
+    ``SSIP_ATTN_PALLAS`` != "0" AND the padded sequence fits VMEM.
+    """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("SSIP_ATTN_PALLAS", "1") != "0"
+        )
+    if interpret:
+        use_pallas = True
+    if use_pallas and q.shape[2] <= _MAX_FUSED_SEQ:
+        return _attention_pallas(q, k, v, interpret=interpret)
+    return attention_xla(q, k, v)

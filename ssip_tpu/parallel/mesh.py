@@ -103,6 +103,24 @@ def tp_param_spec(path, leaf, model_par: int) -> P:
         and leaf.shape[0] % model_par == 0
     ):
         return P(MODEL_AXIS, None)
+    # ViT encoder blocks, Megatron-style: the qkv and first-MLP projections
+    # are column-parallel (output axis sharded — heads/neurons split across
+    # devices, attention and GELU stay local), their successors out/mlp_2
+    # are row-parallel (input axis sharded), so XLA inserts exactly one
+    # psum per attention and one per MLP.
+    if names[-1] == "kernel" and getattr(leaf, "ndim", 0) == 2:
+        mod = names[-2]
+        if mod in ("qkv", "mlp_1") and leaf.shape[1] % model_par == 0:
+            return P(None, MODEL_AXIS)
+        if mod in ("out", "mlp_2") and leaf.shape[0] % model_par == 0:
+            return P(MODEL_AXIS, None)
+    if (
+        names[-1] == "bias"
+        and getattr(leaf, "ndim", 0) == 1
+        and names[-2] in ("qkv", "mlp_1")
+        and leaf.shape[0] % model_par == 0
+    ):
+        return P(MODEL_AXIS)  # biases follow their column-parallel kernels
     return P()
 
 

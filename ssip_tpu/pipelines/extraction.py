@@ -116,6 +116,11 @@ class ExtractionConfig:
                 f"--crop ({self.crop}) must be <= --resize ({self.resize}): "
                 "the resized short side cannot satisfy a larger center crop"
             )
+        if self.compute_dtype == "int8" and self.arch.startswith("vit"):
+            raise ValueError(
+                "int8 PTQ (models/quantized.py) covers the ResNet family "
+                "only; use --compute-dtype bfloat16 with the ViT archs"
+            )
 
 
 @dataclass
@@ -468,7 +473,12 @@ def _prepare_inference(cfg: ExtractionConfig, variables):
     In int8 mode ``variables`` is already the quantized tree (built in
     ``extract_embeddings``) and passes through untouched.
     """
-    fast = cfg.fast_inference and cfg.compute_dtype == "bfloat16"
+    # folded-BN is a ResNet concept; ViT (no BN) always takes the plain apply
+    fast = (
+        cfg.fast_inference
+        and cfg.compute_dtype == "bfloat16"
+        and not cfg.arch.startswith("vit")
+    )
     if fast:
         from ssip_tpu.models.inference import fold_resnet_extractor
         from ssip_tpu.models.resnet import MODEL_STAGES

@@ -79,7 +79,8 @@ def build_classifier_state(
     state = TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
-        batch_stats=variables["batch_stats"],
+        # stat-free models (ViT) have no batch_stats collection
+        batch_stats=variables.get("batch_stats", {}),
         tx=tx,
     )
     return state, model

@@ -130,7 +130,8 @@ def _step_core(
     new_state = state.replace(
         step=state.step + 1,
         params=new_params,
-        batch_stats=new_model_state["batch_stats"],
+        # stat-free models (ViT) mutate nothing under mutable=["batch_stats"]
+        batch_stats=dict(new_model_state).get("batch_stats", state.batch_stats),
         opt_state=new_opt_state,
     )
     return new_state, loss, jnp.argmax(logits, axis=1)
