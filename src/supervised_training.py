@@ -53,6 +53,13 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         "the fc input axis over this many devices (1 = pure data parallel)",
     )
     parser.add_argument(
+        "--fsdp", action="store_true",
+        help="ZeRO-3-style fully-sharded data parallelism: parameters + "
+        "optimizer moments live sharded 1/N over the mesh data axis (XLA "
+        "all-gathers weights at use, reduce-scatters gradients); same "
+        "trajectory as replicated DP, 1/N param memory per device",
+    )
+    parser.add_argument(
         "--compute-dtype", choices=["float32", "bfloat16"], default="float32",
         help="activation dtype for the train/eval forwards (bfloat16 = MXU "
         "throughput mode; params/BN stats/loss/optimizer stay float32)",
@@ -94,6 +101,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         weak_data_dir=getattr(args, "weak_data_dir", None),
         arch=args.arch,
         mesh_model=args.mesh_model,
+        mesh_fsdp=getattr(args, "fsdp", False),
         batch_size=args.batch_size,
         val_split=args.val_split,
         test_split=args.test_split,

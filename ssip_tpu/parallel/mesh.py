@@ -124,16 +124,63 @@ def tp_param_spec(path, leaf, model_par: int) -> P:
     return P()
 
 
-def tree_shardings(mesh: Mesh, tree):
+# Leaves below this many elements replicate under FSDP: sharding tiny
+# tensors buys no memory and costs an all-gather dispatch + lane-padding
+# waste on the (8,128) TPU tile grid.
+FSDP_MIN_ELEMENTS = 65536
+
+
+def fsdp_param_spec(path, leaf, data_par: int, model_par: int) -> P:
+    """ZeRO-3-style spec: TP rules first, then shard the largest remaining
+    axis of every big leaf over the DATA axis.
+
+    Parameters and optimizer moments live sharded across the data-parallel
+    devices (each holds 1/data_par); inside the jitted step XLA all-gathers
+    a parameter just before its matmul and reduce-scatters its gradient —
+    the standard JAX FSDP recipe (annotation only, no manual collectives).
+    Composes with tensor parallelism: a TP-sharded kernel gets the data
+    axis on its largest still-unsharded dimension (2-D sharding).
+    """
+    spec = list(
+        tp_param_spec(path, leaf, model_par)
+        if model_par > 1
+        else (None,) * getattr(leaf, "ndim", 0)
+    )
+    ndim = getattr(leaf, "ndim", 0)
+    spec += [None] * (ndim - len(spec))
+    if getattr(leaf, "size", 0) >= FSDP_MIN_ELEMENTS and ndim > 0:
+        candidates = [
+            d for d in range(ndim)
+            if spec[d] is None and leaf.shape[d] % data_par == 0
+        ]
+        if candidates:
+            best = max(candidates, key=lambda d: leaf.shape[d])
+            spec[best] = DATA_AXIS
+    while spec and spec[-1] is None:  # canonical form: P() not P(None,...)
+        spec.pop()
+    return P(*spec)
+
+
+def tree_shardings(mesh: Mesh, tree, fsdp: bool = False):
     """Per-leaf NamedShardings for a param/state pytree on this mesh.
 
-    With ``model == 1`` every leaf replicates (pure DP — the fast path the
-    engine used before TP became reachable); with ``model > 1`` the
-    ``tp_param_spec`` rules apply leafwise.
+    With ``model == 1`` and ``fsdp=False`` every leaf replicates (pure DP —
+    the fast path the engine used before TP became reachable); with
+    ``model > 1`` the ``tp_param_spec`` rules apply leafwise; ``fsdp=True``
+    additionally shards every big leaf over the data axis
+    (``fsdp_param_spec``) so parameter + optimizer memory scales 1/N.
     """
     import jax.tree_util as jtu
 
     model_par = int(mesh.shape.get(MODEL_AXIS, 1))
+    data_par = int(mesh.shape.get(DATA_AXIS, 1))
+    if fsdp and data_par > 1:
+        return jtu.tree_map_with_path(
+            lambda path, leaf: NamedSharding(
+                mesh, fsdp_param_spec(path, leaf, data_par, model_par)
+            ),
+            tree,
+        )
     if model_par <= 1:
         return jtu.tree_map(lambda _: NamedSharding(mesh, P()), tree)
     return jtu.tree_map_with_path(

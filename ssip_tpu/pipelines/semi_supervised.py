@@ -97,12 +97,13 @@ def _threshold_and_eval(
 ):
     """(argmax + thresholded) eval pair for one model."""
     arg_metrics, arg_y_true, arg_y_pred, y_prob = evaluate_model(
-        state, datasets["test"], config.batch_size, mesh=mesh
+        state, datasets["test"], config.batch_size, mesh=mesh,
+        fsdp=config.mesh_fsdp,
     )
     if config.target_recall is not None:
         _m, y_true_val, _p, y_prob_val = evaluate_model(
             state, datasets["val"], config.batch_size, pos_index=pos_index,
-            mesh=mesh,
+            mesh=mesh, fsdp=config.mesh_fsdp,
         )
         thr, thr_meta = select_operating_threshold(
             (y_true_val == pos_index).astype(int),
@@ -115,6 +116,7 @@ def _threshold_and_eval(
         thr_metrics, thr_y_true, thr_y_pred, thr_y_prob = evaluate_model(
             state, datasets["test"], config.batch_size,
             pos_index=pos_index, threshold=thr, mesh=mesh,
+            fsdp=config.mesh_fsdp,
         )
         thr_metrics.update(
             threshold=float(thr),
@@ -195,6 +197,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             early_stopping_patience=config.early_stopping_patience,
             checkpoint_fn=lambda s: save_checkpoint(reg.baseline_checkpoint, variables_of(s)),
             mesh=mesh,
+            fsdp=config.mesh_fsdp,
         )
         baseline_time = time.time() - t0
     plot_training_curves(baseline_history, reg.baseline_curves_png, "Baseline")
@@ -271,6 +274,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         early_stopping_patience=config.early_stopping_patience,
         trainable_mask=trainable_mask,
         mesh=mesh,
+        fsdp=config.mesh_fsdp,
     )
 
     # ---- Phase D: fine-tune (unfrozen, lr/2) -----------------------------
@@ -324,6 +328,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             early_stopping_patience=config.early_stopping_patience,
             checkpoint_fn=lambda s: save_checkpoint(reg.semi_checkpoint, variables_of(s)),
             mesh=mesh,
+            fsdp=config.mesh_fsdp,
         )
     semi_time = time.time() - t0
 

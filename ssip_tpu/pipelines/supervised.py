@@ -278,18 +278,20 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
                 reg.baseline_checkpoint, variables_of(s)
             ),
             mesh=mesh,
+            fsdp=config.mesh_fsdp,
         )
         train_time = time.time() - t0
 
     arg_metrics, arg_y_true, arg_y_pred, y_prob_test = evaluate_model(
-        state, datasets["test"], config.batch_size, mesh=mesh
+        state, datasets["test"], config.batch_size, mesh=mesh,
+        fsdp=config.mesh_fsdp,
     )
     arg_metrics["training_time_sec"] = train_time
 
     if config.target_recall is not None:
         _m, y_true_val, _p, y_prob_val = evaluate_model(
             state, datasets["val"], config.batch_size, pos_index=pos_index,
-            mesh=mesh,
+            mesh=mesh, fsdp=config.mesh_fsdp,
         )
         thr, thr_meta = select_operating_threshold(
             (y_true_val == pos_index).astype(int),
@@ -302,6 +304,7 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         thr_metrics, thr_y_true, thr_y_pred, thr_y_prob = evaluate_model(
             state, datasets["test"], config.batch_size,
             pos_index=pos_index, threshold=thr, mesh=mesh,
+            fsdp=config.mesh_fsdp,
         )
         thr_metrics.update(
             threshold=float(thr),

@@ -66,6 +66,13 @@ class TrainingConfig:
     # and the fc input axis shard over this many devices
     # (parallel.mesh.tp_param_spec). 1 = pure DP.
     mesh_model: int = 1
+    # ZeRO-3-style fully-sharded data parallelism: parameters + optimizer
+    # moments live sharded 1/N over the mesh data axis (big leaves only —
+    # parallel.mesh.fsdp_param_spec); XLA all-gathers weights at use and
+    # reduce-scatters gradients. Same trajectory as replicated DP to fp
+    # tolerance; memory per device scales 1/N. Matters for the ViT family
+    # (vit_b16: 86M params ×3 AdamW copies), inert at ResNet-18 scale.
+    mesh_fsdp: bool = False
     # seed fan-out (TPU extra, train.multi_seed): train this many
     # independent models (seeds seed, seed+1, ...) simultaneously in one
     # vmapped program, seed axis sharded over the mesh data axis, and keep

@@ -354,14 +354,15 @@ def _epoch_shardings(mesh) -> Tuple[Any, Any]:
     )
 
 
-def _place_tree(mesh, tree):
+def _place_tree(mesh, tree, fsdp: bool = False):
     """Place a param/state pytree on the mesh: replicated under pure DP,
     TP-sharded (wide conv O-axes / fc input axis over the model axis) when
-    the mesh has a model dimension — rules in parallel.mesh.tree_shardings.
+    the mesh has a model dimension, and additionally ZeRO-3 sharded over
+    the data axis with ``fsdp`` — rules in parallel.mesh.tree_shardings.
     """
     from ssip_tpu.parallel.mesh import tree_shardings
 
-    return jax.device_put(tree, tree_shardings(mesh, tree))
+    return jax.device_put(tree, tree_shardings(mesh, tree, fsdp=fsdp))
 
 
 def _mesh_row_width(mesh, batch_size: int) -> int:
@@ -372,7 +373,7 @@ def _mesh_row_width(mesh, batch_size: int) -> int:
 
 def run_eval_epoch(
     state_or_vars, dataset: DeviceDataset, batch_size: int, apply_fn=None,
-    mesh=None,
+    mesh=None, fsdp: bool = False,
 ) -> Tuple[float, np.ndarray, np.ndarray, np.ndarray]:
     """(avg_loss, y_true, y_pred, y_prob_full[N, C]) over the dataset in order.
 
@@ -399,8 +400,8 @@ def run_eval_epoch(
         images = jax.device_put(images, batch_sh)
         labels = jax.device_put(labels, batch_sh)
         valid_dev = jax.device_put(valid_dev, batch_sh)
-        params = _place_tree(mesh, params)
-        batch_stats = _place_tree(mesh, batch_stats)
+        params = _place_tree(mesh, params, fsdp)
+        batch_stats = _place_tree(mesh, batch_stats, fsdp)
     losses, preds, probs = eval_epoch_fused(
         apply_fn, params, batch_stats, images, labels, valid_dev,
     )
@@ -429,6 +430,7 @@ def train_model(
     checkpoint_fn: Optional[Callable[[TrainState], None]] = None,
     resume_path: Optional[Any] = None,
     mesh=None,
+    fsdp: bool = False,
 ) -> Tuple[TrainState, Dict[str, List[float]]]:
     """Epoch driver with reference-parity control flow (common.py:345-432).
 
@@ -463,7 +465,7 @@ def train_model(
     if mesh is not None:
         batch_sh, rep_sh = _epoch_shardings(mesh)
         row_width = _mesh_row_width(mesh, batch_size)
-        state = _place_tree(mesh, state)
+        state = _place_tree(mesh, state, fsdp)
     history: Dict[str, List[float]] = {
         "train_loss": [], "val_loss": [], "train_acc": [],
         "val_acc": [], "train_f1": [], "val_f1": [],
@@ -488,7 +490,7 @@ def train_model(
         if driver is not None:
             state, best_state = state_r, best_state_r
             if mesh is not None:
-                state = _place_tree(mesh, state)
+                state = _place_tree(mesh, state, fsdp)
             history = driver["history"]
             best_val_loss = driver["best_val_loss"]
             early_patience = driver["early_patience"]
@@ -525,7 +527,9 @@ def train_model(
         y_pred_cat = np.asarray(preds).reshape(-1)[valid_flat]
         train_acc, train_f1 = accuracy_f1(y_true_cat, y_pred_cat)
 
-        val_loss, vy, vp, _ = run_eval_epoch(state, val_dataset, batch_size, mesh=mesh)
+        val_loss, vy, vp, _ = run_eval_epoch(
+            state, val_dataset, batch_size, mesh=mesh, fsdp=fsdp
+        )
         val_acc, val_f1 = accuracy_f1(vy, vp)
 
         # ReduceLROnPlateau(mode=min, threshold_mode=rel 1e-4): improvement

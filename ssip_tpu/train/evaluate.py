@@ -24,10 +24,12 @@ def evaluate_model(
     threshold: Optional[float] = None,
     apply_fn=None,
     mesh=None,
+    fsdp: bool = False,
 ) -> Tuple[Dict[str, float], np.ndarray, np.ndarray, np.ndarray]:
     """(metrics, y_true, y_pred, y_prob_positive)."""
     _, y_true, y_pred_argmax, probs_full = run_eval_epoch(
-        state_or_vars, dataset, batch_size, apply_fn=apply_fn, mesh=mesh
+        state_or_vars, dataset, batch_size, apply_fn=apply_fn, mesh=mesh,
+        fsdp=fsdp,
     )
     num_classes = probs_full.shape[1] if probs_full.ndim == 2 else 2
 
