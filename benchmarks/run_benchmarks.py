@@ -290,6 +290,39 @@ def main() -> None:
             finally:
                 _os.environ.pop("SSIP_ATTN_PALLAS", None)
 
+        # ViT-B/16 int8 PTQ (models/quantized_vit.py): every dense site on
+        # the MXU's s8×s8→s32 mode; LN/GELU/attention full precision.
+        try:
+            from ssip_tpu.models.quantized_vit import (
+                make_quantized_vit_apply,
+                quantize_vit_extractor,
+            )
+
+            qvit = jax.device_put(
+                quantize_vit_extractor(vit_host, calib, arch="vit_b16")
+            )
+            qv_apply = make_quantized_vit_apply(arch="vit_b16")
+            qv_apply_pre = make_quantized_vit_apply(
+                arch="vit_b16", stem_prequantized=True
+            )
+
+            def int8_step_vit(tree, u8):
+                if on_tpu:
+                    xq = preprocess_images_pallas(
+                        u8, quant_inv_scale=tree["stem"]["inv_in_scale"]
+                    )
+                    return qv_apply_pre(tree, xq)
+                return qv_apply(
+                    tree, extraction_preprocess(u8, dtype=jnp.float32)
+                )
+
+            embed_variant(
+                "int8_ptq_vit_b16", int8_step_vit, qvit, jnp.float32,
+                max(LO + 1, HI // 2), raw=True,
+            )
+        except Exception as exc:
+            log(f"int8_ptq_vit_b16 FAILED ({exc}); skipping")
+
     # 3. train step/sec (fused epochs): f32 reference-parity mode and the
     #    bf16 throughput mode (--compute-dtype bfloat16; params/BN/loss f32)
     from ssip_tpu.train.engine import TrainState, make_fused_epoch, make_optimizer

@@ -151,9 +151,15 @@ class VisionTransformer(nn.Module):
 # (hidden, layers, heads, mlp). b16 is torchvision vit_b_16; s16/t16 follow
 # the standard ViT-S/Ti recipe (DeiT) with the same 64-wide heads.
 VIT_CONFIGS = {
-    "vit_b16": dict(hidden_dim=768, num_layers=12, num_heads=12, mlp_dim=3072),
-    "vit_s16": dict(hidden_dim=384, num_layers=12, num_heads=6, mlp_dim=1536),
-    "vit_t16": dict(hidden_dim=192, num_layers=12, num_heads=3, mlp_dim=768),
+    "vit_b16": dict(
+        patch_size=16, hidden_dim=768, num_layers=12, num_heads=12, mlp_dim=3072
+    ),
+    "vit_s16": dict(
+        patch_size=16, hidden_dim=384, num_layers=12, num_heads=6, mlp_dim=1536
+    ),
+    "vit_t16": dict(
+        patch_size=16, hidden_dim=192, num_layers=12, num_heads=3, mlp_dim=768
+    ),
 }
 
 

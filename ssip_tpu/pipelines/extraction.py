@@ -116,11 +116,6 @@ class ExtractionConfig:
                 f"--crop ({self.crop}) must be <= --resize ({self.resize}): "
                 "the resized short side cannot satisfy a larger center crop"
             )
-        if self.compute_dtype == "int8" and self.arch.startswith("vit"):
-            raise ValueError(
-                "int8 PTQ (models/quantized.py) covers the ResNet family "
-                "only; use --compute-dtype bfloat16 with the ViT archs"
-            )
 
 
 @dataclass
@@ -208,18 +203,32 @@ def _embed_fns(
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     full_step = None  # set only by paths that own their whole step
     if compute_dtype_name == "int8":
-        # Post-training-quantized forward (models/quantized.py): the
-        # ``variables`` argument is the int8 tree from
-        # ``quantize_extractor`` (built once per run with a real
-        # calibration batch — see _quantize_variables). The preprocess
-        # chain feeds it normalized f32; quantization happens inside.
-        from ssip_tpu.models.quantized import make_quantized_apply
-        from ssip_tpu.models.resnet import MODEL_STAGES
-
+        # Post-training-quantized forward (models/quantized.py resp.
+        # models/quantized_vit.py): the ``variables`` argument is the int8
+        # tree from ``quantize_extractor``/``quantize_vit_extractor``
+        # (built once per run with a real calibration batch — see
+        # _quantize_variables). The preprocess chain feeds it normalized
+        # f32; quantization happens inside.
         compute_dtype = jnp.float32
-        q_apply = make_quantized_apply(
-            stage_sizes=MODEL_STAGES[arch], bottleneck=arch == "resnet50"
-        )
+        if arch.startswith("vit"):
+            from ssip_tpu.models.quantized_vit import make_quantized_vit_apply
+
+            q_apply = make_quantized_vit_apply(arch=arch)
+            q_apply_pre = make_quantized_vit_apply(
+                arch=arch, stem_prequantized=True
+            )
+        else:
+            from ssip_tpu.models.quantized import make_quantized_apply
+            from ssip_tpu.models.resnet import MODEL_STAGES
+
+            q_apply = make_quantized_apply(
+                stage_sizes=MODEL_STAGES[arch], bottleneck=arch == "resnet50"
+            )
+            q_apply_pre = make_quantized_apply(
+                stage_sizes=MODEL_STAGES[arch],
+                bottleneck=arch == "resnet50",
+                stem_prequantized=True,
+            )
 
         def model_apply(variables, x):
             return q_apply(variables, x)
@@ -228,12 +237,6 @@ def _embed_fns(
             # Fuse the stem-input quantization into the preproc kernel's
             # epilogue: it emits the stem's int8 operand directly, skipping
             # one [crop², 3] f32 HBM round-trip per image.
-            q_apply_pre = make_quantized_apply(
-                stage_sizes=MODEL_STAGES[arch],
-                bottleneck=arch == "resnet50",
-                stem_prequantized=True,
-            )
-
             def full_step(variables, u8):
                 x_q8 = preprocess_images_pallas(
                     u8, resize=resize, crop=crop,
@@ -451,14 +454,19 @@ def _calibration_batch(
 
 
 def _quantize_variables(cfg: ExtractionConfig, variables, paths: List[Path]):
-    """variables → int8 PTQ tree (models/quantized.py) for this corpus."""
-    from ssip_tpu.models.quantized import quantize_extractor
-    from ssip_tpu.models.resnet import MODEL_STAGES
-
+    """variables → int8 PTQ tree for this corpus (models/quantized.py for
+    the ResNet family, models/quantized_vit.py for the ViTs)."""
     calib = _calibration_batch(cfg, paths)
     LOGGER.info(
         "int8 PTQ: calibrated activation scales on %d images", calib.shape[0]
     )
+    if cfg.arch.startswith("vit"):
+        from ssip_tpu.models.quantized_vit import quantize_vit_extractor
+
+        return quantize_vit_extractor(variables, calib, arch=cfg.arch)
+    from ssip_tpu.models.quantized import quantize_extractor
+    from ssip_tpu.models.resnet import MODEL_STAGES
+
     return quantize_extractor(
         variables,
         calib,
