@@ -343,6 +343,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     # ---- artifacts -------------------------------------------------------
     history_payload = {
         "arch": config.arch,
+        "image_size": int(config.image_size),
         "baseline": baseline_history,
         "semi_pretrain": pretrain_history,
         "semi_finetune": finetune_history,
@@ -438,6 +439,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         op_payload = {
             "model": f"semi_supervised_{config.arch}",
             "arch": config.arch,
+            "image_size": int(config.image_size),
             "checkpoint": str(reg.semi_checkpoint),
             "positive_class": config.positive_class,
             "classes": list(classes),  # serving derives pos_index from this

@@ -345,6 +345,7 @@ def run_supervised(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
     reg.notes_dir.mkdir(parents=True, exist_ok=True)
     history_payload = {
         "arch": config.arch,
+        "image_size": int(config.image_size),
         "baseline": history,
         "splits": {k: np.asarray(v).tolist() for k, v in splits.items()},
     }

@@ -63,6 +63,18 @@ def arch_of(payload: Dict) -> str:
     return str(payload.get("arch", "resnet18"))
 
 
+def image_size_of(payload: Dict, default: int) -> int:
+    """Training image size recorded in the history.
+
+    The sweep must evaluate on the SAME resolution the checkpoint trained
+    at: a ViT's pos_embedding is shaped by it (a mismatch fails the load),
+    and even for size-agnostic CNNs a different eval grid would silently
+    shift every sweep metric. Pre-image_size histories fall back to the
+    CLI/default value.
+    """
+    return int(payload.get("image_size", default))
+
+
 def load_splits(history_path: Path) -> Dict[str, np.ndarray]:
     return splits_of(load_history(history_path))
 
@@ -83,8 +95,13 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
 
     history_payload = load_history(reg.training_history_json)
     splits = splits_of(history_payload)
+    image_size = image_size_of(history_payload, cfg.image_size)
+    if image_size != cfg.image_size:
+        LOGGER.info(
+            "Evaluating at the training run's recorded image size %d", image_size
+        )
     images, targets, classes, _paths = load_labeled_dataset(
-        cfg.strong_data_dir, cfg.image_size, num_threads=cfg.num_workers
+        cfg.strong_data_dir, image_size, num_threads=cfg.num_workers
     )
     if cfg.positive_class not in classes:
         raise ValueError(
@@ -98,7 +115,7 @@ def run_sweep(cfg: SweepConfig) -> Dict[str, float]:
     )
     arch = arch_of(history_payload)
     model = MODEL_FACTORIES[arch](num_classes=len(classes))
-    template = seeded_init_host(model, 0, (1, cfg.image_size, cfg.image_size, 3))
+    template = seeded_init_host(model, 0, (1, image_size, image_size, 3))
     variables = load_checkpoint(ckpt_path, template)
     LOGGER.info("Loaded %s checkpoint (%s) from %s", cfg.model, arch, ckpt_path)
 

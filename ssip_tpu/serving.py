@@ -60,6 +60,7 @@ class ServingBundle:
     arch: str
     num_classes: int
     checkpoint_path: Path
+    image_size: int = 224
 
 
 def load_serving_bundle(
@@ -87,6 +88,10 @@ def load_serving_bundle(
         positive_class = op.get("positive_class", positive_class)
         classes = op.get("classes")
         arch = str(op.get("arch", arch))
+        # serving must resize to the TRAINING resolution: a ViT's
+        # pos_embedding is shaped by it, and for any arch a different grid
+        # desynchronizes probabilities from the calibrated threshold
+        image_size = int(op.get("image_size", image_size))
     else:
         LOGGER.warning(
             "No operating_point.json under %s — defaulting threshold 0.5",
@@ -131,6 +136,7 @@ def load_serving_bundle(
         arch=arch,
         num_classes=num_classes,
         checkpoint_path=ckpt,
+        image_size=image_size,
     )
 
 
@@ -201,7 +207,8 @@ class ScreeningPredictor:
         )
         return cls(
             bundle.variables, bundle.threshold, bundle.positive_class,
-            bundle.pos_index, image_size=image_size, batch_size=batch_size,
+            bundle.pos_index, image_size=bundle.image_size,
+            batch_size=batch_size,
             compute_dtype=compute_dtype, num_classes=bundle.num_classes,
             arch=bundle.arch,
         )

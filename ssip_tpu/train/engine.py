@@ -387,7 +387,9 @@ def run_eval_epoch(
         apply_fn = state_or_vars.apply_fn
         params, batch_stats = state_or_vars.params, state_or_vars.batch_stats
     else:
-        params, batch_stats = state_or_vars["params"], state_or_vars["batch_stats"]
+        # stat-free models (ViT) have no batch_stats collection
+        params = state_or_vars["params"]
+        batch_stats = state_or_vars.get("batch_stats", {})
 
     n = len(dataset)
     row_width = _mesh_row_width(mesh, batch_size) if mesh is not None else None

@@ -72,10 +72,11 @@ class TestSemiSupervisedArtifacts:
         _, out, _, _ = trained_outputs
         payload = json.loads((out / "notes" / "training_history.json").read_text())
         assert set(payload) == {
-            "arch", "baseline", "semi_pretrain", "semi_finetune", "splits",
-            "pseudo_label_count",
+            "arch", "image_size", "baseline", "semi_pretrain",
+            "semi_finetune", "splits", "pseudo_label_count",
         }
         assert payload["arch"] == "resnet18"
+        assert payload["image_size"] > 0  # sweep/serving eval at this size
         assert payload["pseudo_label_count"] > 0
         splits = payload["splits"]
         assert set(splits) == {"train", "val", "test"}

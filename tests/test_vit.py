@@ -230,6 +230,32 @@ def test_vit_trains_and_freezes_backbone():
     )
 
 
+def test_run_eval_epoch_accepts_statless_variable_dict():
+    """Raw {"params": ...} dicts (ViT checkpoints) evaluate without a
+    batch_stats key — the threshold-sweep path loads exactly this shape."""
+    from ssip_tpu.train.engine import DeviceDataset, run_eval_epoch
+
+    model = MODEL_FACTORIES["vit_t16"](num_classes=2)
+    variables = seeded_init_host(model, 11, (1, IMG, IMG, 3))
+    rng = np.random.default_rng(12)
+    ds = DeviceDataset.create(
+        jnp.asarray(rng.integers(0, 255, (6, IMG, IMG, 3), dtype=np.uint8)),
+        (np.arange(6) % 2).astype(np.int64),
+    )
+    loss, y_true, y_pred, y_prob = run_eval_epoch(
+        {"params": variables["params"]}, ds, batch_size=4,
+        apply_fn=model.apply,
+    )
+    assert np.isfinite(loss) and y_prob.shape == (6, 2)
+
+
+def test_sweep_honors_recorded_image_size():
+    from ssip_tpu.pipelines.sweep import image_size_of
+
+    assert image_size_of({"image_size": 32}, 224) == 32
+    assert image_size_of({}, 224) == 224  # pre-image_size histories
+
+
 def test_vit_tensor_parallel_step_matches_single_device():
     """One AdamW step on a 4x2 data×model mesh == the unsharded step.
 
