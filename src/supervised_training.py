@@ -53,6 +53,12 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
         "the fc input axis over this many devices (1 = pure data parallel)",
     )
     parser.add_argument(
+        "--remat", action="store_true",
+        help="gradient checkpointing: rematerialize ViT encoder blocks on "
+        "the backward pass (activation memory O(layers) -> O(1) blocks at "
+        "~1/3 extra forward FLOPs); ignored for resnet archs",
+    )
+    parser.add_argument(
         "--fsdp", action="store_true",
         help="ZeRO-3-style fully-sharded data parallelism: parameters + "
         "optimizer moments live sharded 1/N over the mesh data axis (XLA "
@@ -102,6 +108,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         arch=args.arch,
         mesh_model=args.mesh_model,
         mesh_fsdp=getattr(args, "fsdp", False),
+        remat=getattr(args, "remat", False),
         batch_size=args.batch_size,
         val_split=args.val_split,
         test_split=args.test_split,

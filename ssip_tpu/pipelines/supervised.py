@@ -48,8 +48,13 @@ def build_classifier_state(
     compute_dtype = (
         jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     )
+    extra = (
+        {"remat": True}
+        if config.remat and config.arch.startswith("vit")
+        else {}
+    )
     model = MODEL_FACTORIES[config.arch](
-        num_classes=num_classes, compute_dtype=compute_dtype
+        num_classes=num_classes, compute_dtype=compute_dtype, **extra
     )
     variables = seeded_init_host(
         model,

@@ -73,6 +73,11 @@ class TrainingConfig:
     # tolerance; memory per device scales 1/N. Matters for the ViT family
     # (vit_b16: 86M params ×3 AdamW copies), inert at ResNet-18 scale.
     mesh_fsdp: bool = False
+    # gradient checkpointing (jax.checkpoint / rematerialization) of the
+    # ViT encoder blocks: activation memory O(layers) → O(1) blocks at
+    # ~1/3 extra forward FLOPs. ViT-only (the ResNet blocks' masked-BN
+    # kwargs don't thread through nn.remat); ignored for resnet archs.
+    remat: bool = False
     # seed fan-out (TPU extra, train.multi_seed): train this many
     # independent models (seeds seed, seed+1, ...) simultaneously in one
     # vmapped program, seed axis sharded over the mesh data axis, and keep

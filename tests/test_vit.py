@@ -230,6 +230,42 @@ def test_vit_trains_and_freezes_backbone():
     )
 
 
+def test_vit_remat_matches_plain():
+    """--remat (jax.checkpoint per encoder block) changes memory, not math:
+    one optimizer step agrees with the plain model to fp exactness."""
+    import optax
+    from ssip_tpu.train.engine import TrainState, make_train_step
+
+    plain = MODEL_FACTORIES["vit_t16"](num_classes=2)
+    rem = MODEL_FACTORIES["vit_t16"](num_classes=2, remat=True)
+    variables = seeded_init_host(plain, 13, (1, IMG, IMG, 3))
+    # identical param tree structure — checkpoints swap freely
+    assert jax.tree_util.tree_structure(
+        seeded_init_host(rem, 13, (1, IMG, IMG, 3))
+    ) == jax.tree_util.tree_structure(variables)
+
+    rng = np.random.default_rng(14)
+    images = jnp.asarray(rng.integers(0, 255, (4, IMG, IMG, 3), dtype=np.uint8))
+    labels = jnp.asarray(np.arange(4) % 2, jnp.int32)
+    valid = jnp.ones(4, bool)
+    step = make_train_step(augment=False)
+
+    outs = {}
+    for name, model in (("plain", plain), ("remat", rem)):
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats={}, tx=optax.sgd(1e-2),
+        )
+        new_state, loss, _ = step(state, images, labels, valid, jax.random.key(0))
+        outs[name] = (float(loss), new_state.params)
+    assert outs["plain"][0] == outs["remat"][0]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs["plain"][1]),
+        jax.tree_util.tree_leaves(outs["remat"][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_run_eval_epoch_accepts_statless_variable_dict():
     """Raw {"params": ...} dicts (ViT checkpoints) evaluate without a
     batch_stats key — the threshold-sweep path loads exactly this shape."""
