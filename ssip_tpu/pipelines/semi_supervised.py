@@ -240,6 +240,7 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
         pool_images,
         config.batch_size,
         config.pseudo_label_threshold,
+        mesh=mesh,
     )
     if len(keep_idx) == 0:
         raise RuntimeError(
@@ -466,7 +467,8 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             else:
                 triage_images, triage_paths = pool_images, pool_paths
             probs = _pool_probabilities(
-                semi_state, triage_images, config.batch_size, pos_index
+                semi_state, triage_images, config.batch_size, pos_index,
+                mesh=mesh,
             )
             df_triage = pd.DataFrame(
                 {
@@ -492,11 +494,12 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
 
 
 def _pool_probabilities(
-    state: TrainState, pool_images: jax.Array, batch_size: int, pos_index: int
+    state: TrainState, pool_images: jax.Array, batch_size: int, pos_index: int,
+    mesh=None,
 ) -> np.ndarray:
     from ssip_tpu.train.pseudo_label import pool_probabilities
 
     probs = pool_probabilities(
-        state.apply_fn, variables_of(state), pool_images, batch_size
+        state.apply_fn, variables_of(state), pool_images, batch_size, mesh=mesh
     )
     return probs[:, pos_index]

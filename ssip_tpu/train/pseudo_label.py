@@ -18,12 +18,17 @@ from ssip_tpu.ops.augment import eval_preprocess
 
 
 def pool_probabilities(
-    apply_fn, variables, pool_images_u8: jax.Array, batch_size: int
+    apply_fn, variables, pool_images_u8: jax.Array, batch_size: int,
+    mesh=None,
 ) -> np.ndarray:
     """Softmax probabilities [N, C] over a device-resident pool.
 
     The whole pool runs as ONE fused dispatch: pad to a batch multiple,
-    reshape to [steps, batch, ...], scan the eval forward.
+    reshape to [steps, batch, ...], scan the eval forward. With ``mesh``,
+    each step's batch axis shards over the data axis (params replicated) —
+    the two full-pool inference passes (pseudo-labeling, triage) are the
+    semi pipeline's biggest single dispatches and scale with the mesh like
+    the train/eval epochs do.
     """
 
     @jax.jit
@@ -35,7 +40,12 @@ def pool_probabilities(
         _, probs = jax.lax.scan(step, None, images)
         return probs
 
-    variables = jax.device_put(variables)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    else:
+        variables = jax.device_put(variables)
     n = int(pool_images_u8.shape[0])
     if n == 0:
         # the clamp-pad index below would be -1 and the final reshape(0, -1)
@@ -48,10 +58,18 @@ def pool_probabilities(
         )
         num_classes = probe.shape[-1]
         return np.zeros((0, num_classes), np.float32)
+    if mesh is not None:
+        from ssip_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
+
+        batch_size = pad_to_multiple(batch_size, mesh.shape[DATA_AXIS])
     steps = (n + batch_size - 1) // batch_size
     padded = steps * batch_size
     idx = jnp.asarray(np.minimum(np.arange(padded), n - 1))  # clamp-pad
     images = pool_images_u8[idx].reshape(steps, batch_size, *pool_images_u8.shape[1:])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        images = jax.device_put(images, NamedSharding(mesh, P(None, "data")))
     probs = np.asarray(probs_all(images, variables))
     return probs.reshape(padded, -1)[:n]
 
@@ -62,9 +80,12 @@ def generate_pseudo_labels(
     pool_images_u8: jax.Array,
     batch_size: int,
     confidence_threshold: float,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(kept_indices, labels, confidences) over the pool, in pool order."""
-    probs = pool_probabilities(apply_fn, variables, pool_images_u8, batch_size)
+    probs = pool_probabilities(
+        apply_fn, variables, pool_images_u8, batch_size, mesh=mesh
+    )
     conf = probs.max(axis=1)
     pred = probs.argmax(axis=1)
     keep = np.nonzero(conf >= confidence_threshold)[0]

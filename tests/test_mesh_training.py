@@ -317,3 +317,23 @@ def test_single_step_exact_across_device_counts():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_pool_probabilities_mesh_invariant():
+    """The pseudo-label/triage inference pass: sharded == unsharded probs."""
+    from ssip_tpu.train.pseudo_label import pool_probabilities
+
+    model = ResNet18(num_classes=2)
+    variables = seeded_init_host(model, 3, (1, IMG, IMG, 3))
+    rng = np.random.default_rng(4)
+    # 13 images, batch 5: exercises clamp-padding AND the row-width pad
+    # up to the mesh's data-axis multiple
+    pool = jnp.asarray(rng.integers(0, 255, (13, IMG, IMG, 3), dtype=np.uint8))
+
+    ref = pool_probabilities(model.apply, variables, pool, batch_size=5)
+    mesh = build_mesh(MeshSpec(data=8), devices=jax.devices()[:8])
+    got = pool_probabilities(
+        model.apply, variables, pool, batch_size=5, mesh=mesh
+    )
+    assert ref.shape == got.shape == (13, 2)
+    np.testing.assert_allclose(ref, got, atol=1e-6)
