@@ -307,6 +307,8 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             confidence_threshold=config.consistency_threshold,
             early_stopping_patience=config.early_stopping_patience,
             resume_path=config.resume_path("semi_finetune"),
+            mesh=mesh,
+            fsdp=config.mesh_fsdp,
         )
         save_checkpoint(reg.semi_checkpoint, variables_of(semi_state))
         # keep the history schema uniform for the combined curves figure

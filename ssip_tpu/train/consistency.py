@@ -82,7 +82,10 @@ def make_fixmatch_epoch(
                 logits_strong, new_model_state = state.apply_fn(
                     {
                         "params": params,
-                        "batch_stats": new_model_state["batch_stats"],
+                        # stat-free models (ViT) mutate nothing
+                        "batch_stats": dict(new_model_state).get(
+                            "batch_stats", state.batch_stats
+                        ),
                     },
                     x_strong, train=True, mutable=["batch_stats"],
                 )
@@ -115,7 +118,9 @@ def make_fixmatch_epoch(
             new_state = state.replace(
                 step=state.step + 1,
                 params=new_params,
-                batch_stats=new_model_state["batch_stats"],
+                batch_stats=dict(new_model_state).get(
+                    "batch_stats", state.batch_stats
+                ),
                 opt_state=new_opt_state,
             )
             metrics = (loss, sup_loss, cons_loss, jnp.mean(keep),
@@ -147,6 +152,8 @@ def train_fixmatch(
     plateau_patience: int = 2,
     plateau_factor: float = 0.5,
     resume_path: Optional[Any] = None,
+    mesh=None,
+    fsdp: bool = False,
 ) -> Tuple[TrainState, dict]:
     """Epoch driver mirroring ``train_model``'s control flow + consistency.
 
@@ -154,6 +161,10 @@ def train_fixmatch(
     preemption-safe per-epoch snapshot/restore as every other phase
     (ADVICE r1) — the driver state is train_model's plus the two
     consistency history keys, which ride along inside ``history``.
+
+    ``mesh``/``fsdp``: the same data-parallel (and ZeRO-3) placement the
+    plain engine uses — both the labeled and the unlabeled batch axes
+    shard over the data axis.
     """
     import math
     from pathlib import Path
@@ -161,9 +172,23 @@ def train_fixmatch(
     from ssip_tpu.data.splits import balanced_epoch_indices
     from ssip_tpu.ops.metrics import accuracy_f1
     from ssip_tpu.runtime.prng import host_rng
-    from ssip_tpu.train.engine import get_lr, run_eval_epoch, set_lr
+    from ssip_tpu.train.engine import (
+        _epoch_shardings,
+        _mesh_row_width,
+        _place_tree,
+        get_lr,
+        run_eval_epoch,
+        set_lr,
+    )
 
     fixmatch_epoch = make_fixmatch_epoch(consistency_weight, confidence_threshold)
+    batch_sh = rep_sh = None
+    row_width = None
+    if mesh is not None:
+        batch_sh, rep_sh = _epoch_shardings(mesh)
+        row_width = _mesh_row_width(mesh, batch_size)
+        unlabeled_batch_size = _mesh_row_width(mesh, unlabeled_batch_size)
+        state = _place_tree(mesh, state, fsdp)
     history = {
         "train_loss": [], "val_loss": [], "train_acc": [],
         "val_acc": [], "train_f1": [], "val_f1": [],
@@ -180,6 +205,8 @@ def train_fixmatch(
         state_r, driver, best_state_r = restore_resume_state(resume_path, state)
         if driver is not None:
             state, best_state = state_r, best_state_r
+            if mesh is not None:
+                state = _place_tree(mesh, state, fsdp)
             history = driver["history"]
             best_val = driver["best_val_loss"]
             early = driver["early_patience"]
@@ -198,20 +225,25 @@ def train_fixmatch(
             train_dataset.labels, seed=seed, epoch=epoch,
             num_samples=len(train_dataset),
         )
-        pidx, valid = _stacked_epoch(order, batch_size)
+        pidx, valid = _stacked_epoch(order, batch_size, row_width)
         steps = pidx.shape[0]
         u_rng = host_rng(seed, f"{stream_name}/unlabeled/{epoch}")
         u_idx = u_rng.integers(0, n_unlabeled, size=(steps, unlabeled_batch_size))
         keys = jnp.stack(
             [epoch_key(seed, f"{stream_name}/aug/{epoch}", bi) for bi in range(steps)]
         )
+        images = train_dataset.images_u8[jnp.asarray(pidx)]
+        labels = train_dataset.labels_dev[jnp.asarray(pidx)]
+        valid_dev = jnp.asarray(valid)
+        unl = unlabeled_images[jnp.asarray(u_idx)]
+        if mesh is not None:
+            images = jax.device_put(images, batch_sh)
+            labels = jax.device_put(labels, batch_sh)
+            valid_dev = jax.device_put(valid_dev, batch_sh)
+            unl = jax.device_put(unl, batch_sh)
+            keys = jax.device_put(keys, rep_sh)
         state, losses, _sup, cons, keep, preds = fixmatch_epoch(
-            state,
-            train_dataset.images_u8[jnp.asarray(pidx)],
-            train_dataset.labels_dev[jnp.asarray(pidx)],
-            jnp.asarray(valid),
-            unlabeled_images[jnp.asarray(u_idx)],
-            keys,
+            state, images, labels, valid_dev, unl, keys,
         )
         train_loss = float(jnp.mean(losses))
         valid_flat = valid.reshape(-1)
@@ -219,7 +251,9 @@ def train_fixmatch(
             train_dataset.labels[pidx.reshape(-1)[valid_flat]],
             np.asarray(preds).reshape(-1)[valid_flat],
         )
-        val_loss, vy, vp, _ = run_eval_epoch(state, val_dataset, batch_size)
+        val_loss, vy, vp, _ = run_eval_epoch(
+            state, val_dataset, batch_size, mesh=mesh, fsdp=fsdp
+        )
         val_acc, val_f1 = accuracy_f1(vy, vp)
 
         if val_loss < plateau_best * (1 - 1e-4):

@@ -109,3 +109,47 @@ def test_fixmatch_interrupt_and_resume(data, tmp_path):
         resumed_history["consistency_loss"], full_history["consistency_loss"],
         rtol=1e-5,
     )
+
+
+def test_fixmatch_mesh_matches_unsharded(data):
+    """FixMatch over an 8-device data mesh tracks the single-device run.
+
+    SGD isolates the sharding machinery from Adam's noise amplification
+    (same tiering as tests/test_mesh_training.py); the whole first epoch's
+    losses must agree to fp tolerance.
+    """
+    import optax
+
+    from ssip_tpu.parallel.mesh import MeshSpec, build_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    ds, pool = data
+
+    def run(mesh):
+        model = ResNet18(num_classes=2)
+        v = seeded_init_host(model, 5, (1, IMG, IMG, 3))
+        state = TrainState.create(
+            apply_fn=model.apply, params=v["params"],
+            batch_stats=v["batch_stats"], tx=optax.sgd(1e-2),
+        )
+        _, hist = train_fixmatch(
+            state, ds, ds, pool,
+            num_epochs=1, batch_size=8, unlabeled_batch_size=8, seed=0,
+            stream_name="mesh_t", consistency_weight=0.5,
+            confidence_threshold=0.0, mesh=mesh,
+        )
+        return hist
+
+    h1 = run(None)
+    h8 = run(build_mesh(MeshSpec(data=8), devices=jax.devices()[:8]))
+    # in-step losses are pre-update — tight; the END-of-epoch val eval sits
+    # after two SGD updates through THREE BN passes per step (sup, weak,
+    # strong), so reduction noise amplifies like the engine's graduated
+    # epoch-1 envelope (tests/test_mesh_training.py)
+    for key in ("train_loss", "consistency_loss"):
+        np.testing.assert_allclose(h1[key], h8[key], rtol=1e-4, err_msg=key)
+    np.testing.assert_allclose(h1["val_loss"], h8["val_loss"], rtol=5e-2)
+    np.testing.assert_allclose(
+        h1["val_acc"], h8["val_acc"], atol=1 / 16 + 1e-9
+    )
