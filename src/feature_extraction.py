@@ -35,10 +35,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     )
     parser.add_argument(
         "--arch",
-        choices=["resnet18", "resnet34", "resnet50", "vit_t16", "vit_s16", "vit_b16"],
+        choices=[
+            "resnet18", "resnet34", "resnet50",
+            "vit_t16", "vit_s16", "vit_b16",
+            "vit_moe_t16", "vit_moe_s16",
+        ],
         default="resnet18",
         help="backbone architecture (reference uses frozen resnet18; "
-        "resnet50 yields 2048-D embeddings, vit_b16 768-D class tokens)",
+        "resnet50 yields 2048-D embeddings, vit_b16 768-D class tokens, "
+        "vit_moe_* Switch-style mixture-of-experts towers)",
     )
     parser.add_argument("--no-cache", action="store_true", help="skip decode cache")
     parser.add_argument(

@@ -31,12 +31,21 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="float32 (default) matches the calibration-time probabilities "
         "exactly; bfloat16 trades O(1e-2) probability shift for throughput",
     )
+    parser.add_argument(
+        "--device", choices=["auto", "cpu", "cuda"], default="auto",
+        help="cpu restricts backend discovery to the CPU plugin before any "
+        "jax touch (survives a down accelerator tunnel); cuda accepted for "
+        "reference-CLI compatibility and treated as auto",
+    )
     return parser.parse_args(argv)
 
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
+    from ssip_tpu.runtime.device import force_cpu_platform_if_requested
+
+    force_cpu_platform_if_requested(args.device)
     from ssip_tpu.runtime.jaxconfig import setup_jax
 
     setup_jax()

@@ -41,11 +41,16 @@ def add_common_training_flags(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--arch",
-        choices=["resnet18", "resnet34", "resnet50", "vit_t16", "vit_s16", "vit_b16"],
+        choices=[
+            "resnet18", "resnet34", "resnet50",
+            "vit_t16", "vit_s16", "vit_b16",
+            "vit_moe_t16", "vit_moe_s16",
+        ],
         default="resnet18",
         help="backbone architecture (recorded in artifacts so "
         "threshold_sweep/predict rebuild the right model); vit_* need "
-        "--image-size divisible by 16",
+        "--image-size divisible by 16; vit_moe_* are Switch-style "
+        "mixture-of-experts towers (expert-parallel under --mesh-model)",
     )
     parser.add_argument(
         "--mesh-model", type=int, default=1,

@@ -12,8 +12,12 @@ from ssip_tpu.models.vit import (  # noqa: F401
     VIT_FACTORIES,
     VisionTransformer,
 )
+from ssip_tpu.models.moe import (  # noqa: F401
+    MOE_FACTORIES,
+    MoEVisionTransformer,
+)
 
 # single arch registry: every --arch value maps to a
 # factory(num_classes=None, compute_dtype=f32) -> Flax module with the
 # shared __call__(x, train=, return_features=, mask=) signature
-MODEL_FACTORIES = {**_RESNET_FACTORIES, **VIT_FACTORIES}
+MODEL_FACTORIES = {**_RESNET_FACTORIES, **VIT_FACTORIES, **MOE_FACTORIES}

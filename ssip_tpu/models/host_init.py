@@ -30,6 +30,10 @@ def seeded_init_host(model, seed: int, input_shape=(1, 224, 224, 3)) -> Dict[str
             jax.random.key(0), jnp.zeros(input_shape, jnp.float32), train=False
         )
     )
+    # drop transient collections (MoE "aux" losses): they are per-forward
+    # outputs, not state — materializing them would leak stale zeros into
+    # checkpoints and double-count under apply(mutable=["aux"])
+    shapes = {k: v for k, v in dict(shapes).items() if k != "aux"}
 
     def materialize(path, leaf):
         rng = _path_seed(seed, path)
@@ -41,6 +45,11 @@ def seeded_init_host(model, seed: int, input_shape=(1, 224, 224, 3)) -> Dict[str
             return rng.normal(0.0, std, size=shape).astype(np.float32)
         if name == "pos_embedding":  # ViT: torch inits normal(std=0.02)
             return rng.normal(0.0, 0.02, size=shape).astype(np.float32)
+        if name in ("w_in", "w_out"):  # MoE expert kernels [E, in, out]:
+            # fan from the per-expert (in, out) axes — the leading expert
+            # axis is a batch axis (models/moe.py:_expert_init)
+            std = float(np.sqrt(1.0 / max(shape[-2], 1)))
+            return rng.normal(0.0, std, size=shape).astype(np.float32)
         if name in ("scale", "var"):
             return np.ones(shape, np.float32)
         return np.zeros(shape, np.float32)  # bias, mean, cls_token

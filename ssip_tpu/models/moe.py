@@ -1,0 +1,294 @@
+"""Mixture-of-Experts ViT (Switch-style top-1 routing, dense TPU dispatch).
+
+A TPU-extra capacity family beyond the reference's single dense backbone
+(the reference's entire model surface is ``torchvision.models.resnet18`` —
+reference src/training/common.py:299-304); no reference counterpart exists,
+so the design follows the public Switch-Transformer / V-MoE recipe rather
+than any torch code:
+
+* **Top-1 routing** (Switch): a small f32 router projects each token to
+  ``num_experts`` logits; the argmax expert processes the token, gated by
+  its softmax probability. Gradients reach the router through the gate.
+* **Dense one-hot dispatch** — the TPU-native choice. Instead of gather/
+  scatter (dynamic shapes XLA cannot tile), tokens move to expert slots via
+  two einsums against a ``[B, S, E, C]`` one-hot dispatch tensor with a
+  *static* per-expert capacity ``C = ceil(S · capacity_factor / E)``.
+  Everything stays a fixed-shape GEMM on the MXU; tokens past an expert's
+  capacity are dropped for this layer (the residual stream carries them —
+  standard Switch behavior).
+* **Load-balance auxiliary loss** (Switch eq. 4):
+  ``E · Σ_e f_e · P_e`` with ``f_e`` the fraction of tokens routed to
+  expert ``e`` and ``P_e`` the mean router probability; ``1.0`` at perfect
+  balance. Sown into the ``"aux"`` collection scaled by ``aux_loss_coef``;
+  the training engine adds every ``"aux"`` leaf to the objective
+  (train/engine.py), and eval forwards (no mutable) drop it.
+* **Expert parallelism**: every expert parameter carries a leading ``[E]``
+  axis that ``parallel.mesh.tp_param_spec`` shards over the mesh ``model``
+  axis, so each device holds ``E / model_par`` experts and XLA turns the
+  dispatch/return einsums into the all-to-all exchange — annotation only,
+  no hand-written collectives (the scaling-book recipe). Composes with the
+  Megatron attention-TP rules on the same axis and with FSDP/DP.
+
+Architecture: the plain ``models.vit`` tower with every second encoder
+block's MLP swapped for the expert layer (the Switch/V-MoE "every-other"
+placement); attention, LayerNorms, names (``block{i}``, ``qkv``, ``out``,
+``fc``) and dtype discipline (params/LN f32, matmuls in ``compute_dtype``)
+are identical, so the engine's freezing rules and the attention TP rules
+apply unchanged. No torchvision topology exists for MoE, so torch porting
+is N/A for these archs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ssip_tpu.models.vit import LN_EPS, EncoderBlock
+from ssip_tpu.ops.attention import fused_attention
+
+# Per-expert lecun_normal: fan from the (in, out) trailing axes; the leading
+# expert axis is a batch axis, NOT receptive field (default fan computation
+# would fold E into fan_in and under-scale every expert by sqrt(E)).
+_expert_init = nn.initializers.variance_scaling(
+    1.0, "fan_in", "truncated_normal", in_axis=-2, out_axis=-1, batch_axis=(0,)
+)
+
+
+class MoEMlp(nn.Module):
+    """Switch-style expert MLP over tokens ``[B, S, D] -> [B, S, D]``.
+
+    Input is the post-LayerNorm hidden (compute dtype); output is the
+    residual branch. Tokens beyond an expert's capacity return zeros.
+    """
+
+    num_experts: int
+    mlp_dim: int
+    capacity_factor: float = 1.25
+    aux_loss_coef: float = 0.01
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        b, s, d = y.shape
+        e = self.num_experts
+        cap = max(1, math.ceil(s * self.capacity_factor / e))
+        ct = self.compute_dtype
+
+        # Router math in f32: softmax over expert logits must not see bf16
+        # rounding or ties resolve differently across shardings.
+        logits = nn.Dense(e, dtype=jnp.float32, name="router")(
+            y.astype(jnp.float32)
+        )  # [B, S, E]
+        probs = nn.softmax(logits, axis=-1)
+        gate = jnp.max(probs, axis=-1)  # [B, S]
+        onehot = nn.one_hot(
+            jnp.argmax(probs, axis=-1), e, dtype=jnp.float32
+        )  # [B, S, E]
+
+        # Load-balance loss BEFORE capacity drops (the routing decision is
+        # what balance pressure must shape, not the overflow artifact).
+        frac = jnp.mean(onehot, axis=(0, 1))  # f_e
+        mean_prob = jnp.mean(probs, axis=(0, 1))  # P_e
+        self.sow(
+            "aux",
+            "load_balance",
+            jnp.float32(self.aux_loss_coef) * e * jnp.sum(frac * mean_prob),
+        )
+
+        # Slot assignment: position of each token within its expert's queue
+        # (cumsum over the token axis — deterministic earliest-first drop).
+        pos = jnp.cumsum(onehot, axis=1) * onehot  # [B, S, E], 1-indexed
+        kept = onehot * (pos <= cap)
+        slot_oh = nn.one_hot(
+            (pos - 1.0).clip(0).astype(jnp.int32), cap, dtype=jnp.float32
+        )  # [B, S, E, C]
+        dispatch = kept[..., None] * slot_oh  # [B, S, E, C] in {0, 1}
+        combine = dispatch * gate[..., None, None]
+
+        # expert inputs: [E, B, C, D] — one static-shape GEMM per einsum;
+        # under expert parallelism the E axis is mesh-sharded and XLA makes
+        # this the token all-to-all.
+        xe = jnp.einsum("bsec,bsd->ebcd", dispatch.astype(ct), y.astype(ct))
+        w_in = self.param("w_in", _expert_init, (e, d, self.mlp_dim), jnp.float32)
+        b_in = self.param("b_in", nn.initializers.zeros, (e, self.mlp_dim), jnp.float32)
+        h = jnp.einsum("ebcd,edf->ebcf", xe, w_in.astype(ct))
+        h = nn.gelu(h + b_in[:, None, None, :].astype(ct), approximate=False)
+        w_out = self.param("w_out", _expert_init, (e, self.mlp_dim, d), jnp.float32)
+        b_out = self.param("b_out", nn.initializers.zeros, (e, d), jnp.float32)
+        out_e = jnp.einsum("ebcf,efd->ebcd", h, w_out.astype(ct))
+        out_e = out_e + b_out[:, None, None, :].astype(ct)
+        # return trip: bias/outputs weighted by the gate; dropped tokens get
+        # exact zeros (their combine row is all-zero)
+        return jnp.einsum("ebcd,bsec->bsd", out_e, combine.astype(ct))
+
+
+class MoEEncoderBlock(nn.Module):
+    """EncoderBlock with the dense MLP swapped for ``MoEMlp``.
+
+    The attention sublayer repeats models/vit.py:EncoderBlock line-for-line
+    (same ``qkv``/``out`` names and dtype discipline) so attention tensor
+    parallelism, head-freezing, and checkpoints treat both block kinds
+    identically; only the MLP branch differs.
+    """
+
+    num_heads: int
+    mlp_dim: int
+    num_experts: int
+    capacity_factor: float = 1.25
+    aux_loss_coef: float = 0.01
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, s, d = x.shape
+        if d % self.num_heads != 0:
+            raise ValueError(f"hidden dim {d} not divisible by {self.num_heads} heads")
+        dh = d // self.num_heads
+
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_1")(
+            x.astype(jnp.float32)
+        ).astype(self.compute_dtype)
+        qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(y)
+        qkv = qkv.reshape(b, s, 3, self.num_heads, dh)
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+        o = fused_attention(q, k, v)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
+        o = nn.Dense(d, dtype=self.compute_dtype, name="out")(o)
+        x = x + o.astype(x.dtype)
+
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_2")(
+            x.astype(jnp.float32)
+        ).astype(self.compute_dtype)
+        y = MoEMlp(
+            num_experts=self.num_experts,
+            mlp_dim=self.mlp_dim,
+            capacity_factor=self.capacity_factor,
+            aux_loss_coef=self.aux_loss_coef,
+            compute_dtype=self.compute_dtype,
+            name="moe",
+        )(y)
+        return x + y.astype(x.dtype)
+
+
+class MoEVisionTransformer(nn.Module):
+    """ViT tower with every ``moe_every``-th block an expert block.
+
+    Same call contract as ``models.VisionTransformer`` (and the engine's
+    model interface): ``num_classes=None`` → feature extractor; ``mask``
+    accepted and ignored (per-sample LayerNorm). ``remat`` checkpoints each
+    block on the backward pass, as in the dense ViT.
+    """
+
+    patch_size: int = 16
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    num_experts: int = 8
+    capacity_factor: float = 1.25
+    aux_loss_coef: float = 0.01
+    moe_every: int = 2  # blocks i with i % moe_every == moe_every-1 are MoE
+    num_classes: Optional[int] = None
+    compute_dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        return_features: bool = False,
+        mask: Optional[jnp.ndarray] = None,
+    ):
+        del train, mask  # stat-free, no dropout — see models/vit.py
+        b, h, w, c = x.shape
+        p = self.patch_size
+        if h % p or w % p:
+            raise ValueError(f"image size {h}x{w} not divisible by patch size {p}")
+        x = nn.Conv(
+            self.hidden_dim, (p, p), strides=(p, p), use_bias=True,
+            dtype=self.compute_dtype, name="conv_proj",
+        )(x.astype(self.compute_dtype))
+        x = x.reshape(b, -1, self.hidden_dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.hidden_dim), jnp.float32
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.hidden_dim)).astype(x.dtype), x],
+            axis=1,
+        )
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (1, x.shape[1], self.hidden_dim),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+
+        dense_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        moe_cls = nn.remat(MoEEncoderBlock) if self.remat else MoEEncoderBlock
+        for i in range(self.num_layers):
+            if i % self.moe_every == self.moe_every - 1:
+                x = moe_cls(
+                    num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+                    num_experts=self.num_experts,
+                    capacity_factor=self.capacity_factor,
+                    aux_loss_coef=self.aux_loss_coef,
+                    compute_dtype=self.compute_dtype, name=f"block{i}",
+                )(x)
+            else:
+                x = dense_cls(
+                    num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+                    compute_dtype=self.compute_dtype, name=f"block{i}",
+                )(x)
+
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32)
+        )
+        features = x[:, 0]
+        if self.num_classes is None:
+            return features
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(features)
+        if return_features:
+            return logits, features
+        return logits
+
+
+# Expert counts follow V-MoE's small-scale recipe (8 experts, every other
+# block); tower shapes mirror the dense s16/t16 configs so dense-vs-MoE
+# comparisons isolate the expert layer.
+MOE_CONFIGS = {
+    "vit_moe_s16": dict(
+        patch_size=16, hidden_dim=384, num_layers=12, num_heads=6,
+        mlp_dim=1536, num_experts=8,
+    ),
+    "vit_moe_t16": dict(
+        patch_size=16, hidden_dim=192, num_layers=12, num_heads=3,
+        mlp_dim=768, num_experts=8,
+    ),
+}
+
+
+def _factory(name: str):
+    cfg = MOE_CONFIGS[name]
+
+    def make(
+        num_classes: Optional[int] = None,
+        compute_dtype: Any = jnp.float32,
+        remat: bool = False,
+    ):
+        return MoEVisionTransformer(
+            num_classes=num_classes, compute_dtype=compute_dtype,
+            remat=remat, **cfg,
+        )
+
+    make.__name__ = name
+    return make
+
+
+MOE_FACTORIES = {name: _factory(name) for name in MOE_CONFIGS}

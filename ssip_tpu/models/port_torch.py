@@ -300,16 +300,26 @@ def check_weights_match_arch(
     params = variables.get("params", {})
     is_vit_ckpt = "cls_token" in params
     if arch.startswith("vit") or is_vit_ckpt:
+        from ssip_tpu.models.moe import MOE_CONFIGS
         from ssip_tpu.models.vit import VIT_CONFIGS
 
-        cfg = VIT_CONFIGS.get(arch)
+        # MOE_CONFIGS carries the same hidden_dim/num_layers keys, so our
+        # own saved MoE checkpoints pass the topology check on reload
+        # (sweep/predict rebuild from the recorded arch). Dense-vs-MoE is
+        # checked explicitly: expert blocks carry a `moe` sub-module where
+        # the dense tower has `mlp_1`, so a dense checkpoint cannot load
+        # into a vit_moe arch (or vice versa) just because the tower
+        # width/depth happens to match.
+        cfg = VIT_CONFIGS.get(arch) or MOE_CONFIGS.get(arch)
         hidden = params.get("conv_proj", {}).get("kernel", np.zeros((0,) * 4)).shape[-1]
         blocks = {k for k in params if k.startswith("block")}
+        has_moe = any("moe" in params.get(b, {}) for b in blocks)
         ok = (
             cfg is not None
             and is_vit_ckpt
             and hidden == cfg["hidden_dim"]
             and len(blocks) == cfg["num_layers"]
+            and has_moe == (arch in MOE_CONFIGS)
         )
         if not ok:
             raise ValueError(

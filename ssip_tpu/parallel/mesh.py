@@ -121,6 +121,18 @@ def tp_param_spec(path, leaf, model_par: int) -> P:
         and leaf.shape[0] % model_par == 0
     ):
         return P(MODEL_AXIS)  # biases follow their column-parallel kernels
+    # Expert parallelism (models/moe.py): every expert parameter carries a
+    # leading [E] axis — shard it over the model axis so each device holds
+    # E/model_par experts and XLA lowers the one-hot dispatch/return einsums
+    # to the token all-to-all. The f32 router stays replicated (it is tiny
+    # and every device needs every routing decision).
+    if (
+        "moe" in names
+        and names[-1] in ("w_in", "w_out", "b_in", "b_out")
+        and getattr(leaf, "ndim", 0) >= 2
+        and leaf.shape[0] % model_par == 0
+    ):
+        return P(MODEL_AXIS)  # leading axis sharded, rest replicated
     return P()
 
 

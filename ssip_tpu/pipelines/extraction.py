@@ -213,6 +213,11 @@ def _embed_fns(
         if arch.startswith("vit"):
             from ssip_tpu.models.quantized_vit import make_quantized_vit_apply
 
+            if arch.startswith("vit_moe"):
+                raise ValueError(
+                    "int8 PTQ is implemented for the dense ViTs only; run "
+                    f"--arch {arch} with --compute-dtype float32/bfloat16"
+                )
             q_apply = make_quantized_vit_apply(arch=arch)
             q_apply_pre = make_quantized_vit_apply(
                 arch=arch, stem_prequantized=True
@@ -463,6 +468,11 @@ def _quantize_variables(cfg: ExtractionConfig, variables, paths: List[Path]):
     if cfg.arch.startswith("vit"):
         from ssip_tpu.models.quantized_vit import quantize_vit_extractor
 
+        if cfg.arch.startswith("vit_moe"):
+            raise ValueError(
+                "int8 PTQ is implemented for the dense ViTs only; run "
+                f"--arch {cfg.arch} with --compute-dtype float32/bfloat16"
+            )
         return quantize_vit_extractor(variables, calib, arch=cfg.arch)
     from ssip_tpu.models.quantized import quantize_extractor
     from ssip_tpu.models.resnet import MODEL_STAGES

@@ -97,6 +97,16 @@ def load_serving_bundle(
             "No operating_point.json under %s — defaulting threshold 0.5",
             output_dir,
         )
+        # runs without a threshold policy never write an operating point,
+        # but training_history.json still records the arch + training
+        # resolution — without them a non-default backbone (vit_*,
+        # vit_moe_*) would hit an opaque restore failure against the
+        # resnet18 template
+        hist_path = reg.training_history_json
+        if hist_path.exists():
+            hist = json.loads(hist_path.read_text())
+            arch = str(hist.get("arch", arch))
+            image_size = int(hist.get("image_size", image_size))
 
     num_classes = len(classes) if classes else 2
     from ssip_tpu.models import MODEL_FACTORIES

@@ -105,11 +105,16 @@ def _step_core(
     def loss_fn(params):
         logits, new_model_state = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            x, train=True, mask=valid, mutable=["batch_stats"],
+            x, train=True, mask=valid, mutable=["batch_stats", "aux"],
         )
         weights = valid.astype(jnp.float32)
         per_example = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         loss = jnp.sum(per_example * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+        # auxiliary objectives sown by the model (MoE load-balance losses,
+        # models/moe.py) — already coefficient-scaled at the sow site; dense
+        # models sow nothing and the sum is empty
+        for term in jax.tree.leaves(dict(new_model_state).get("aux", {})):
+            loss = loss + jnp.sum(term)
         return loss, (logits, new_model_state)
 
     (loss, (logits, new_model_state)), grads = jax.value_and_grad(

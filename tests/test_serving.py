@@ -94,3 +94,25 @@ def test_threshold_override(trained_run):
     paths = sorted((root / "sans_label").glob("*.jpg"))[:4]
     result = predictor.predict_paths(paths)
     assert result.flagged.all()  # threshold 0 flags everything
+
+def test_bundle_falls_back_to_training_history(trained_run, tmp_path):
+    """Without operating_point.json (threshold policy disabled), the bundle
+    must still rebuild the recorded arch at the recorded resolution from
+    training_history.json instead of assuming a 224px resnet18."""
+    import json
+    import shutil
+
+    from ssip_tpu.serving import load_serving_bundle
+
+    root, out = trained_run
+    run2 = tmp_path / "no_op_point"
+    shutil.copytree(out, run2)
+    (run2 / "notes" / "operating_point.json").unlink()
+    hist_path = run2 / "notes" / "training_history.json"
+    hist = json.loads(hist_path.read_text())
+    assert hist["arch"] == "resnet18" and hist["image_size"] == 32
+
+    bundle = load_serving_bundle(run2, model="semi")
+    assert bundle.arch == "resnet18"
+    assert bundle.image_size == 32
+    assert bundle.threshold == 0.5  # warned default, not the calibrated one
