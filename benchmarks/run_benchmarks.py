@@ -323,6 +323,25 @@ def main() -> None:
         except Exception as exc:
             log(f"int8_ptq_vit_b16 FAILED ({exc}); skipping")
 
+        # MoE ViT-S/16 bf16 (models/moe.py): Switch-style top-1 routing
+        # with static-capacity one-hot dispatch — measures the single-chip
+        # cost of the dispatch einsums + expert GEMMs (expert parallelism
+        # itself needs a multi-chip mesh; see tests/test_moe.py).
+        try:
+            moe = MODEL_FACTORIES["vit_moe_s16"](
+                num_classes=None, compute_dtype=jnp.bfloat16
+            )
+            moe_host = seeded_init_host(moe, 42, (1, 224, 224, 3))
+            embed_variant(
+                "bf16_vit_moe_s16",
+                lambda v, x: moe.apply(v, x, train=False),
+                jax.device_put(moe_host),
+                jnp.bfloat16,
+                max(LO + 1, HI // 2),
+            )
+        except Exception as exc:
+            log(f"bf16_vit_moe_s16 FAILED ({exc}); skipping")
+
     # 3. train step/sec (fused epochs): f32 reference-parity mode and the
     #    bf16 throughput mode (--compute-dtype bfloat16; params/BN/loss f32)
     from ssip_tpu.train.engine import TrainState, make_fused_epoch, make_optimizer
@@ -517,6 +536,18 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
             f"| Embedding ResNet-50 (int8 PTQ) | "
             f"{fmt('embedding_int8_ptq_r50_imgs_per_sec')} imgs/s/chip | — |"
         )
+    for key, label in (
+        ("embedding_bf16_vit_b16_imgs_per_sec",
+         "Embedding ViT-B/16 (bf16, fused Pallas attention)"),
+        ("embedding_bf16_vit_b16_xla_attn_imgs_per_sec",
+         "Embedding ViT-B/16 (bf16, XLA-attention fallback)"),
+        ("embedding_int8_ptq_vit_b16_imgs_per_sec",
+         "Embedding ViT-B/16 (int8 PTQ)"),
+        ("embedding_bf16_vit_moe_s16_imgs_per_sec",
+         "Embedding MoE ViT-S/16 (bf16, 8 experts, Switch top-1)"),
+    ):
+        if key in results:
+            lines.append(f"| {label} | {fmt(key)} imgs/s/chip | — |")
     if "e2e_streamed_imgs_per_sec" in results:
         # --skip-e2e carries the previous run's e2e section forward; mark
         # those rows so the table never pairs fresh on-chip numbers with
