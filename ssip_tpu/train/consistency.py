@@ -62,8 +62,16 @@ def make_fixmatch_epoch(
             def loss_fn(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 logits_sup, new_model_state = state.apply_fn(
-                    variables, x_sup, train=True, mask=val, mutable=["batch_stats"],
+                    variables, x_sup, train=True, mask=val,
+                    mutable=["batch_stats", "aux"],
                 )
+                # model-sown auxiliary objectives (MoE load-balance,
+                # models/moe.py) — captured from the supervised view before
+                # the strong-view apply rebinds new_model_state; the strong
+                # view's sow is dropped (batch_stats-only mutable) so the
+                # balance pressure is counted once per step, mirroring
+                # engine._step_core
+                aux_terms = jax.tree.leaves(dict(new_model_state).get("aux", {}))
                 w = val.astype(jnp.float32)
                 sup_loss = jnp.sum(
                     optax.softmax_cross_entropy_with_integer_labels(logits_sup, lab) * w
@@ -97,6 +105,8 @@ def make_fixmatch_epoch(
                 ) / jnp.maximum(jnp.sum(keep), 1.0)
 
                 total = sup_loss + consistency_weight * cons_loss
+                for term in aux_terms:
+                    total = total + jnp.sum(term)
                 return total, (logits_sup, new_model_state, sup_loss, cons_loss, keep)
 
             (loss, (logits, new_model_state, sup_loss, cons_loss, keep)), grads = (

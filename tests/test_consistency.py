@@ -153,3 +153,40 @@ def test_fixmatch_mesh_matches_unsharded(data):
     np.testing.assert_allclose(
         h1["val_acc"], h8["val_acc"], atol=1 / 16 + 1e-9
     )
+
+
+def test_fixmatch_includes_moe_aux_loss(data):
+    """The FixMatch driver folds the MoE load-balance loss (sown into the
+    "aux" collection by models/moe.py) into its objective — a vit_moe run
+    must report train_loss above the bare CE+consistency and still train."""
+    from ssip_tpu.models.moe import MoEVisionTransformer
+
+    dataset, pool = data
+
+    def moe_model(coef):
+        return MoEVisionTransformer(
+            patch_size=8, hidden_dim=64, num_layers=2, num_heads=2,
+            mlp_dim=128, num_experts=4, moe_every=2, num_classes=2,
+            aux_loss_coef=coef,
+        )
+
+    def run(coef_model):
+        vv = seeded_init_host(coef_model, 0, (1, IMG, IMG, 3))
+        st = TrainState.create(
+            apply_fn=coef_model.apply, params=vv["params"], batch_stats={},
+            tx=make_optimizer(1e-3, 1e-4),
+        )
+        _, hist = train_fixmatch(
+            st, dataset, dataset, pool,
+            num_epochs=1, batch_size=8, unlabeled_batch_size=4,
+            seed=42, stream_name="fixmoe", consistency_weight=0.5,
+            confidence_threshold=0.6,
+        )
+        return hist
+
+    # an exaggerated aux coefficient must visibly raise the reported train
+    # loss vs a near-zero one (same seeds, same data, same init)
+    hist_hi = run(moe_model(10.0))
+    hist_lo = run(moe_model(1e-6))
+    assert np.isfinite(hist_hi["train_loss"][0])
+    assert hist_hi["train_loss"][0] > hist_lo["train_loss"][0] + 1.0
