@@ -1,4 +1,4 @@
-"""Mixture-of-Experts ViT (Switch-style top-1 routing, dense TPU dispatch).
+"""Mixture-of-Experts ViT (top-k routing, dense TPU dispatch).
 
 A TPU-extra capacity family beyond the reference's single dense backbone
 (the reference's entire model surface is ``torchvision.models.resnet18`` —
@@ -6,9 +6,11 @@ reference src/training/common.py:299-304); no reference counterpart exists,
 so the design follows the public Switch-Transformer / V-MoE recipe rather
 than any torch code:
 
-* **Top-1 routing** (Switch): a small f32 router projects each token to
-  ``num_experts`` logits; the argmax expert processes the token, gated by
-  its softmax probability. Gradients reach the router through the gate.
+* **Top-k routing**: a small f32 router projects each token to
+  ``num_experts`` logits; the top-k experts process the token, gated by
+  softmax probability (``router_top_k=1`` — Switch, raw-prob gate, the
+  default; ``router_top_k=2`` — GShard/V-MoE, gates renormalized over the
+  pair). Gradients reach the router through the gates.
 * **Dense one-hot dispatch** — the TPU-native choice. Instead of gather/
   scatter (dynamic shapes XLA cannot tile), tokens move to expert slots via
   two einsums against a ``[B, S, E, C]`` one-hot dispatch tensor with a
@@ -44,6 +46,7 @@ import math
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ssip_tpu.models.vit import LN_EPS, EncoderBlock
@@ -58,23 +61,36 @@ _expert_init = nn.initializers.variance_scaling(
 
 
 class MoEMlp(nn.Module):
-    """Switch-style expert MLP over tokens ``[B, S, D] -> [B, S, D]``.
+    """Top-k routed expert MLP over tokens ``[B, S, D] -> [B, S, D]``.
+
+    ``router_top_k=1`` is the Switch recipe (argmax expert, raw-probability
+    gate); ``router_top_k=2`` is the GShard/V-MoE recipe (two experts per
+    token, gates renormalized over the chosen pair). The k>1 case reuses the
+    top-1 dispatch machinery on a K-repeated token axis: assignment rank r
+    of token s becomes pseudo-token ``s*K + r``, so capacity, slotting, and
+    the dispatch/return einsums are rank-agnostic and stay fixed-shape.
 
     Input is the post-LayerNorm hidden (compute dtype); output is the
-    residual branch. Tokens beyond an expert's capacity return zeros.
+    residual branch. Assignments beyond an expert's capacity return zeros.
     """
 
     num_experts: int
     mlp_dim: int
     capacity_factor: float = 1.25
     aux_loss_coef: float = 0.01
+    router_top_k: int = 1
     compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
         b, s, d = y.shape
         e = self.num_experts
-        cap = max(1, math.ceil(s * self.capacity_factor / e))
+        k = self.router_top_k
+        if not 1 <= k <= e:
+            raise ValueError(f"router_top_k={k} must be in [1, {e}]")
+        # per-expert queue capacity over all S*K assignments (GShard
+        # convention: k assignments per token share the same buffer pool)
+        cap = max(1, math.ceil(s * k * self.capacity_factor / e))
         ct = self.compute_dtype
 
         # Router math in f32: softmax over expert logits must not see bf16
@@ -83,35 +99,50 @@ class MoEMlp(nn.Module):
             y.astype(jnp.float32)
         )  # [B, S, E]
         probs = nn.softmax(logits, axis=-1)
-        gate = jnp.max(probs, axis=-1)  # [B, S]
-        onehot = nn.one_hot(
-            jnp.argmax(probs, axis=-1), e, dtype=jnp.float32
-        )  # [B, S, E]
+        top_probs, top_idx = jax.lax.top_k(probs, k)  # [B, S, K]
+        if k == 1:
+            gate = top_probs  # Switch: raw probability of the argmax expert
+        else:
+            # GShard/V-MoE: gates renormalized over the chosen pair so the
+            # expert mixture is a convex combination
+            gate = top_probs / jnp.sum(top_probs, axis=-1, keepdims=True)
+        onehot = nn.one_hot(top_idx, e, dtype=jnp.float32)  # [B, S, K, E]
 
         # Load-balance loss BEFORE capacity drops (the routing decision is
         # what balance pressure must shape, not the overflow artifact).
-        frac = jnp.mean(onehot, axis=(0, 1))  # f_e
+        # f_e = fraction of assignments landing on expert e (all K ranks).
+        frac = jnp.mean(jnp.sum(onehot, axis=2), axis=(0, 1))  # f_e, sums to k
         mean_prob = jnp.mean(probs, axis=(0, 1))  # P_e
         self.sow(
             "aux",
             "load_balance",
-            jnp.float32(self.aux_loss_coef) * e * jnp.sum(frac * mean_prob),
+            jnp.float32(self.aux_loss_coef)
+            * (e / k)
+            * jnp.sum(frac * mean_prob),
         )
 
-        # Slot assignment: position of each token within its expert's queue
-        # (cumsum over the token axis — deterministic earliest-first drop).
-        pos = jnp.cumsum(onehot, axis=1) * onehot  # [B, S, E], 1-indexed
+        # Flatten ranks into the token axis: pseudo-token t = s*K + r.
+        sk = s * k
+        onehot = onehot.reshape(b, sk, e)
+        gate = gate.reshape(b, sk)
+
+        # Slot assignment: position of each assignment within its expert's
+        # queue (cumsum over pseudo-tokens — deterministic earliest-first,
+        # rank-1 before rank-2 for the same token).
+        pos = jnp.cumsum(onehot, axis=1) * onehot  # [B, S*K, E], 1-indexed
         kept = onehot * (pos <= cap)
         slot_oh = nn.one_hot(
             (pos - 1.0).clip(0).astype(jnp.int32), cap, dtype=jnp.float32
-        )  # [B, S, E, C]
-        dispatch = kept[..., None] * slot_oh  # [B, S, E, C] in {0, 1}
+        )  # [B, S*K, E, C]
+        dispatch = kept[..., None] * slot_oh  # [B, S*K, E, C] in {0, 1}
         combine = dispatch * gate[..., None, None]
 
         # expert inputs: [E, B, C, D] — one static-shape GEMM per einsum;
         # under expert parallelism the E axis is mesh-sharded and XLA makes
-        # this the token all-to-all.
-        xe = jnp.einsum("bsec,bsd->ebcd", dispatch.astype(ct), y.astype(ct))
+        # this the token all-to-all. Each pseudo-token reads its source
+        # token's hidden (repeat along the token axis; k=1 is a no-op).
+        y_rep = jnp.repeat(y, k, axis=1) if k > 1 else y  # [B, S*K, D]
+        xe = jnp.einsum("btec,btd->ebcd", dispatch.astype(ct), y_rep.astype(ct))
         w_in = self.param("w_in", _expert_init, (e, d, self.mlp_dim), jnp.float32)
         b_in = self.param("b_in", nn.initializers.zeros, (e, self.mlp_dim), jnp.float32)
         h = jnp.einsum("ebcd,edf->ebcf", xe, w_in.astype(ct))
@@ -120,9 +151,11 @@ class MoEMlp(nn.Module):
         b_out = self.param("b_out", nn.initializers.zeros, (e, d), jnp.float32)
         out_e = jnp.einsum("ebcf,efd->ebcd", h, w_out.astype(ct))
         out_e = out_e + b_out[:, None, None, :].astype(ct)
-        # return trip: bias/outputs weighted by the gate; dropped tokens get
-        # exact zeros (their combine row is all-zero)
-        return jnp.einsum("ebcd,bsec->bsd", out_e, combine.astype(ct))
+        # return trip: outputs weighted by the gate; dropped assignments get
+        # exact zeros (their combine row is all-zero); ranks of the same
+        # token sum back into it
+        out = jnp.einsum("ebcd,btec->btd", out_e, combine.astype(ct))
+        return out.reshape(b, s, k, d).sum(axis=2) if k > 1 else out
 
 
 class MoEEncoderBlock(nn.Module):
@@ -139,6 +172,7 @@ class MoEEncoderBlock(nn.Module):
     num_experts: int
     capacity_factor: float = 1.25
     aux_loss_coef: float = 0.01
+    router_top_k: int = 1
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,6 +201,7 @@ class MoEEncoderBlock(nn.Module):
             mlp_dim=self.mlp_dim,
             capacity_factor=self.capacity_factor,
             aux_loss_coef=self.aux_loss_coef,
+            router_top_k=self.router_top_k,
             compute_dtype=self.compute_dtype,
             name="moe",
         )(y)
@@ -190,6 +225,7 @@ class MoEVisionTransformer(nn.Module):
     num_experts: int = 8
     capacity_factor: float = 1.25
     aux_loss_coef: float = 0.01
+    router_top_k: int = 1  # 1 = Switch; 2 = GShard/V-MoE pair routing
     moe_every: int = 2  # blocks i with i % moe_every == moe_every-1 are MoE
     num_classes: Optional[int] = None
     compute_dtype: Any = jnp.float32
@@ -239,6 +275,7 @@ class MoEVisionTransformer(nn.Module):
                     num_experts=self.num_experts,
                     capacity_factor=self.capacity_factor,
                     aux_loss_coef=self.aux_loss_coef,
+                    router_top_k=self.router_top_k,
                     compute_dtype=self.compute_dtype, name=f"block{i}",
                 )(x)
             else:

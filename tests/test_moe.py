@@ -215,3 +215,83 @@ def test_moe_arch_registered():
         m = MODEL_FACTORIES[arch](num_classes=3)
         assert isinstance(m, MoEVisionTransformer)
         assert m.num_classes == 3
+
+
+def test_top2_with_two_experts_is_exact_soft_mixture():
+    """E=2, top-2, ample capacity: the layer equals the dense soft mixture
+    sum_e softmax(router)_e * mlp_e(y) exactly (renormalized top-2 gates
+    over both experts ARE the softmax probabilities)."""
+    layer = MoEMlp(num_experts=2, mlp_dim=32, capacity_factor=4.0, router_top_k=2)
+    y = jnp.asarray(np.random.default_rng(7).normal(size=(2, 9, 16)), jnp.float32)
+    variables = layer.init(jax.random.key(3), y)
+    out = layer.apply(variables, y)
+
+    p = variables["params"]
+    probs = jax.nn.softmax(
+        y @ p["router"]["kernel"] + p["router"]["bias"], axis=-1
+    )  # [B, S, 2]
+    mix = 0.0
+    for ei in range(2):
+        h = jax.nn.gelu(y @ p["w_in"][ei] + p["b_in"][ei], approximate=False)
+        mix = mix + probs[..., ei : ei + 1] * (h @ p["w_out"][ei] + p["b_out"][ei])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(mix), atol=1e-5)
+
+
+def test_top2_aux_loss_closed_form_and_capacity():
+    """Zero router, k=2: every token picks experts {0, 1}; f = (1, 1, 0, 0),
+    P = 1/E, so aux = (E/k)·sum(f·P) = (E/2)·(2/E) = 1 (balanced value is
+    k-invariant). Capacity counts assignments: cap = ceil(S·k·cf/E)."""
+    E, coef = 4, 0.01
+    layer = MoEMlp(num_experts=E, mlp_dim=32, aux_loss_coef=coef, router_top_k=2)
+    y = jnp.asarray(np.random.default_rng(8).normal(size=(2, 5, 16)), jnp.float32)
+    variables = layer.init(jax.random.key(0), y)
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    params["router"]["kernel"] = jnp.zeros_like(params["router"]["kernel"])
+    params["router"]["bias"] = jnp.zeros_like(params["router"]["bias"])
+    _, state = layer.apply({"params": params}, y, mutable=["aux"])
+    (leaf,) = jax.tree.leaves(dict(state)["aux"])
+    np.testing.assert_allclose(float(leaf), coef * 1.0, atol=1e-6)
+
+
+def test_top2_vit_trains_and_shards():
+    """A top-2 MoE ViT runs one EP-sharded engine step matching the
+    replicated program (same bar as the top-1 path)."""
+    model = MoEVisionTransformer(
+        patch_size=8, hidden_dim=64, num_layers=2, num_heads=2, mlp_dim=128,
+        num_experts=8, router_top_k=2, num_classes=2,
+    )
+    v = seeded_init_host(model, 0, (1, IMG, IMG, 3))
+    rng = np.random.default_rng(9)
+    images = jnp.asarray(rng.integers(0, 256, (8, IMG, IMG, 3), dtype=np.uint8))
+    labels = jnp.asarray((np.arange(8) % 2).astype(np.int32))
+    valid = jnp.ones(8, bool)
+    step = make_train_step(augment=False)
+
+    ref_state = TrainState.create(
+        apply_fn=model.apply, params=v["params"], batch_stats={}, tx=optax.sgd(0.1)
+    )
+    ref_new, ref_loss, _ = step(ref_state, images, labels, valid, jax.random.key(0))
+    assert np.isfinite(float(ref_loss))
+
+    mesh = build_mesh(MeshSpec(data=2, model=4))
+    state = TrainState.create(
+        apply_fn=model.apply, params=v["params"], batch_stats={}, tx=optax.sgd(0.1)
+    )
+    state = jax.device_put(state, tree_shardings(mesh, state))
+    data_sh = NamedSharding(mesh, P("data"))
+    with mesh:
+        ep_new, ep_loss, _ = step(
+            state,
+            jax.device_put(images, data_sh),
+            jax.device_put(labels, data_sh),
+            jax.device_put(valid, data_sh),
+            jax.random.key(0),
+        )
+    np.testing.assert_allclose(float(ep_loss), float(ref_loss), atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        ep_new.params,
+        ref_new.params,
+    )
