@@ -61,17 +61,29 @@ _expert_init = nn.initializers.variance_scaling(
 
 
 class MoEMlp(nn.Module):
-    """Top-k routed expert MLP over tokens ``[B, S, D] -> [B, S, D]``.
+    """Routed expert MLP over tokens ``[B, S, D] -> [B, S, D]``.
 
-    ``router_top_k=1`` is the Switch recipe (argmax expert, raw-probability
-    gate); ``router_top_k=2`` is the GShard/V-MoE recipe (two experts per
-    token, gates renormalized over the chosen pair). The k>1 case reuses the
-    top-1 dispatch machinery on a K-repeated token axis: assignment rank r
-    of token s becomes pseudo-token ``s*K + r``, so capacity, slotting, and
-    the dispatch/return einsums are rank-agnostic and stay fixed-shape.
+    Two routing families, both dense/static-shape:
+
+    * ``routing="token_choice"`` (default) — tokens pick experts.
+      ``router_top_k=1`` is the Switch recipe (argmax expert,
+      raw-probability gate); ``router_top_k=2`` is the GShard/V-MoE recipe
+      (two experts per token, gates renormalized over the chosen pair).
+      The k>1 case reuses the top-1 dispatch machinery on a K-repeated
+      token axis: assignment rank r of token s becomes pseudo-token
+      ``s*K + r``, so capacity, slotting, and the dispatch/return einsums
+      are rank-agnostic. Needs the load-balance aux loss; assignments
+      beyond an expert's capacity are dropped.
+    * ``routing="expert_choice"`` (Zhou et al. 2022) — experts pick their
+      top-C tokens by router affinity. Every expert is exactly full by
+      construction, so there is no balance loss to tune and no overflow
+      drop asymmetry — the most TPU-idiomatic variant (one ``top_k`` per
+      expert, everything else identical static-shape GEMMs). Tokens may be
+      chosen by zero experts (residual carries them) or several (their
+      outputs sum, weighted by affinity).
 
     Input is the post-LayerNorm hidden (compute dtype); output is the
-    residual branch. Assignments beyond an expert's capacity return zeros.
+    residual branch.
     """
 
     num_experts: int
@@ -79,7 +91,24 @@ class MoEMlp(nn.Module):
     capacity_factor: float = 1.25
     aux_loss_coef: float = 0.01
     router_top_k: int = 1
+    routing: str = "token_choice"
     compute_dtype: Any = jnp.float32
+
+    def _expert_ffn(self, xe: jnp.ndarray, d: int, ct: Any) -> jnp.ndarray:
+        """Batched per-expert MLP on dispatched slots ``[E, B, C, D]``."""
+        e = self.num_experts
+        w_in = self.param("w_in", _expert_init, (e, d, self.mlp_dim), jnp.float32)
+        b_in = self.param(
+            "b_in", nn.initializers.zeros, (e, self.mlp_dim), jnp.float32
+        )
+        h = jnp.einsum("ebcd,edf->ebcf", xe, w_in.astype(ct))
+        h = nn.gelu(h + b_in[:, None, None, :].astype(ct), approximate=False)
+        w_out = self.param(
+            "w_out", _expert_init, (e, self.mlp_dim, d), jnp.float32
+        )
+        b_out = self.param("b_out", nn.initializers.zeros, (e, d), jnp.float32)
+        out_e = jnp.einsum("ebcf,efd->ebcd", h, w_out.astype(ct))
+        return out_e + b_out[:, None, None, :].astype(ct)
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
@@ -88,6 +117,8 @@ class MoEMlp(nn.Module):
         k = self.router_top_k
         if not 1 <= k <= e:
             raise ValueError(f"router_top_k={k} must be in [1, {e}]")
+        if self.routing not in ("token_choice", "expert_choice"):
+            raise ValueError(f"unknown MoE routing {self.routing!r}")
         # per-expert queue capacity over all S*K assignments (GShard
         # convention: k assignments per token share the same buffer pool)
         cap = max(1, math.ceil(s * k * self.capacity_factor / e))
@@ -99,6 +130,23 @@ class MoEMlp(nn.Module):
             y.astype(jnp.float32)
         )  # [B, S, E]
         probs = nn.softmax(logits, axis=-1)
+
+        if self.routing == "expert_choice":
+            # Each expert takes its top-C tokens (C = ceil(S·cf/E), K
+            # unused): one top_k over the token axis per expert, then the
+            # same dispatch/return einsums as token choice. Perfectly
+            # balanced by construction — nothing to sow.
+            cap_ec = min(s, max(1, math.ceil(s * self.capacity_factor / e)))
+            gates_ec, tok_idx = jax.lax.top_k(
+                jnp.swapaxes(probs, 1, 2), cap_ec
+            )  # both [B, E, C]
+            dispatch = nn.one_hot(tok_idx, s, dtype=jnp.float32)  # [B,E,C,S]
+            combine = dispatch * gates_ec[..., None]
+            xe = jnp.einsum(
+                "becs,bsd->ebcd", dispatch.astype(ct), y.astype(ct)
+            )
+            out_e = self._expert_ffn(xe, d, ct)
+            return jnp.einsum("ebcd,becs->bsd", out_e, combine.astype(ct))
         top_probs, top_idx = jax.lax.top_k(probs, k)  # [B, S, K]
         if k == 1:
             gate = top_probs  # Switch: raw probability of the argmax expert
@@ -143,14 +191,7 @@ class MoEMlp(nn.Module):
         # token's hidden (repeat along the token axis; k=1 is a no-op).
         y_rep = jnp.repeat(y, k, axis=1) if k > 1 else y  # [B, S*K, D]
         xe = jnp.einsum("btec,btd->ebcd", dispatch.astype(ct), y_rep.astype(ct))
-        w_in = self.param("w_in", _expert_init, (e, d, self.mlp_dim), jnp.float32)
-        b_in = self.param("b_in", nn.initializers.zeros, (e, self.mlp_dim), jnp.float32)
-        h = jnp.einsum("ebcd,edf->ebcf", xe, w_in.astype(ct))
-        h = nn.gelu(h + b_in[:, None, None, :].astype(ct), approximate=False)
-        w_out = self.param("w_out", _expert_init, (e, self.mlp_dim, d), jnp.float32)
-        b_out = self.param("b_out", nn.initializers.zeros, (e, d), jnp.float32)
-        out_e = jnp.einsum("ebcf,efd->ebcd", h, w_out.astype(ct))
-        out_e = out_e + b_out[:, None, None, :].astype(ct)
+        out_e = self._expert_ffn(xe, d, ct)
         # return trip: outputs weighted by the gate; dropped assignments get
         # exact zeros (their combine row is all-zero); ranks of the same
         # token sum back into it
@@ -173,6 +214,7 @@ class MoEEncoderBlock(nn.Module):
     capacity_factor: float = 1.25
     aux_loss_coef: float = 0.01
     router_top_k: int = 1
+    routing: str = "token_choice"
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -202,6 +244,7 @@ class MoEEncoderBlock(nn.Module):
             capacity_factor=self.capacity_factor,
             aux_loss_coef=self.aux_loss_coef,
             router_top_k=self.router_top_k,
+            routing=self.routing,
             compute_dtype=self.compute_dtype,
             name="moe",
         )(y)
@@ -226,6 +269,7 @@ class MoEVisionTransformer(nn.Module):
     capacity_factor: float = 1.25
     aux_loss_coef: float = 0.01
     router_top_k: int = 1  # 1 = Switch; 2 = GShard/V-MoE pair routing
+    routing: str = "token_choice"  # or "expert_choice" (Zhou et al. 2022)
     moe_every: int = 2  # blocks i with i % moe_every == moe_every-1 are MoE
     num_classes: Optional[int] = None
     compute_dtype: Any = jnp.float32
@@ -276,6 +320,7 @@ class MoEVisionTransformer(nn.Module):
                     capacity_factor=self.capacity_factor,
                     aux_loss_coef=self.aux_loss_coef,
                     router_top_k=self.router_top_k,
+                    routing=self.routing,
                     compute_dtype=self.compute_dtype, name=f"block{i}",
                 )(x)
             else:

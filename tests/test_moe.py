@@ -295,3 +295,94 @@ def test_top2_vit_trains_and_shards():
         ep_new.params,
         ref_new.params,
     )
+
+
+def test_expert_choice_single_expert_full_capacity_is_dense():
+    """EC with one expert and C=S: the expert picks every token with gate
+    softmax(1 logit)=1, so the layer equals the dense MLP exactly."""
+    layer = MoEMlp(
+        num_experts=1, mlp_dim=32, capacity_factor=1.0, routing="expert_choice"
+    )
+    y = jnp.asarray(np.random.default_rng(10).normal(size=(2, 7, 16)), jnp.float32)
+    variables = layer.init(jax.random.key(0), y)
+    out = layer.apply(variables, y)
+    p = variables["params"]
+    h = jax.nn.gelu(y @ p["w_in"][0] + p["b_in"][0], approximate=False)
+    dense = h @ p["w_out"][0] + p["b_out"][0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense), atol=1e-6)
+
+
+def test_expert_choice_balanced_and_sows_nothing():
+    """Zero router, E=2, S=8, cf=1 -> C=4: ties resolve to the lowest token
+    indices, so BOTH experts take tokens 0..3 (each with affinity 1/2) and
+    tokens 4..7 get no expert (zero residual branch). No aux loss exists —
+    expert choice is balanced by construction."""
+    layer = MoEMlp(
+        num_experts=2, mlp_dim=32, capacity_factor=1.0, routing="expert_choice"
+    )
+    y = jnp.asarray(np.random.default_rng(11).normal(size=(1, 8, 16)), jnp.float32)
+    variables = layer.init(jax.random.key(0), y)
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    params["router"]["kernel"] = jnp.zeros_like(params["router"]["kernel"])
+    params["router"]["bias"] = jnp.zeros_like(params["router"]["bias"])
+    out, state = layer.apply({"params": params}, y, mutable=["aux"])
+    assert not dict(state)  # nothing sown
+    np.testing.assert_array_equal(np.asarray(out[0, 4:]), 0.0)
+    # the chosen tokens get 0.5*(mlp_0 + mlp_1)
+    mix = 0.0
+    for ei in range(2):
+        h = jax.nn.gelu(y @ params["w_in"][ei] + params["b_in"][ei], approximate=False)
+        mix = mix + 0.5 * (h @ params["w_out"][ei] + params["b_out"][ei])
+    np.testing.assert_allclose(
+        np.asarray(out[0, :4]), np.asarray(mix[0, :4]), atol=1e-5
+    )
+
+
+def test_expert_choice_vit_ep_step_matches_replicated():
+    model = MoEVisionTransformer(
+        patch_size=8, hidden_dim=64, num_layers=2, num_heads=2, mlp_dim=128,
+        num_experts=8, routing="expert_choice", num_classes=2,
+    )
+    v = seeded_init_host(model, 0, (1, IMG, IMG, 3))
+    rng = np.random.default_rng(12)
+    images = jnp.asarray(rng.integers(0, 256, (8, IMG, IMG, 3), dtype=np.uint8))
+    labels = jnp.asarray((np.arange(8) % 2).astype(np.int32))
+    valid = jnp.ones(8, bool)
+    step = make_train_step(augment=False)
+
+    ref_state = TrainState.create(
+        apply_fn=model.apply, params=v["params"], batch_stats={}, tx=optax.sgd(0.1)
+    )
+    ref_new, ref_loss, _ = step(ref_state, images, labels, valid, jax.random.key(0))
+    assert np.isfinite(float(ref_loss))
+    # the router updates (gradients flow through the affinity gates)
+    r_delta = float(
+        jnp.abs(
+            ref_new.params["block1"]["moe"]["router"]["kernel"]
+            - v["params"]["block1"]["moe"]["router"]["kernel"]
+        ).max()
+    )
+    assert r_delta > 0
+
+    mesh = build_mesh(MeshSpec(data=2, model=4))
+    state = TrainState.create(
+        apply_fn=model.apply, params=v["params"], batch_stats={}, tx=optax.sgd(0.1)
+    )
+    state = jax.device_put(state, tree_shardings(mesh, state))
+    data_sh = NamedSharding(mesh, P("data"))
+    with mesh:
+        ep_new, ep_loss, _ = step(
+            state,
+            jax.device_put(images, data_sh),
+            jax.device_put(labels, data_sh),
+            jax.device_put(valid, data_sh),
+            jax.random.key(0),
+        )
+    np.testing.assert_allclose(float(ep_loss), float(ref_loss), atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        ep_new.params,
+        ref_new.params,
+    )
