@@ -92,6 +92,7 @@ class MoEMlp(nn.Module):
     aux_loss_coef: float = 0.01
     router_top_k: int = 1
     routing: str = "token_choice"
+    router_z_loss_coef: float = 0.0  # ST-MoE logit regularizer; 1e-3 typical
     compute_dtype: Any = jnp.float32
 
     def _expert_ffn(self, xe: jnp.ndarray, d: int, ct: Any) -> jnp.ndarray:
@@ -130,6 +131,17 @@ class MoEMlp(nn.Module):
             y.astype(jnp.float32)
         )  # [B, S, E]
         probs = nn.softmax(logits, axis=-1)
+
+        # Router z-loss (ST-MoE): penalize large logit magnitudes so the
+        # router's softmax stays away from saturated/round-off regimes.
+        # Off by default; applies to either routing family.
+        if self.router_z_loss_coef > 0.0:
+            z = jax.nn.logsumexp(logits, axis=-1)
+            self.sow(
+                "aux",
+                "router_z",
+                jnp.float32(self.router_z_loss_coef) * jnp.mean(jnp.square(z)),
+            )
 
         if self.routing == "expert_choice":
             # Each expert takes its top-C tokens (C = ceil(S·cf/E), K
@@ -215,6 +227,7 @@ class MoEEncoderBlock(nn.Module):
     aux_loss_coef: float = 0.01
     router_top_k: int = 1
     routing: str = "token_choice"
+    router_z_loss_coef: float = 0.0
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -245,6 +258,7 @@ class MoEEncoderBlock(nn.Module):
             aux_loss_coef=self.aux_loss_coef,
             router_top_k=self.router_top_k,
             routing=self.routing,
+            router_z_loss_coef=self.router_z_loss_coef,
             compute_dtype=self.compute_dtype,
             name="moe",
         )(y)
@@ -270,6 +284,7 @@ class MoEVisionTransformer(nn.Module):
     aux_loss_coef: float = 0.01
     router_top_k: int = 1  # 1 = Switch; 2 = GShard/V-MoE pair routing
     routing: str = "token_choice"  # or "expert_choice" (Zhou et al. 2022)
+    router_z_loss_coef: float = 0.0  # ST-MoE logit regularizer; 1e-3 typical
     moe_every: int = 2  # blocks i with i % moe_every == moe_every-1 are MoE
     num_classes: Optional[int] = None
     compute_dtype: Any = jnp.float32
@@ -321,6 +336,7 @@ class MoEVisionTransformer(nn.Module):
                     aux_loss_coef=self.aux_loss_coef,
                     router_top_k=self.router_top_k,
                     routing=self.routing,
+                    router_z_loss_coef=self.router_z_loss_coef,
                     compute_dtype=self.compute_dtype, name=f"block{i}",
                 )(x)
             else:

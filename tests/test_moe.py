@@ -386,3 +386,24 @@ def test_expert_choice_vit_ep_step_matches_replicated():
         ep_new.params,
         ref_new.params,
     )
+
+
+def test_router_z_loss_closed_form():
+    """Zero router, coef>0: logsumexp(logits) = log(E) per token, so the
+    sown z-loss is exactly coef * log(E)^2 — for both routing families."""
+    E, coef = 4, 1e-3
+    y = jnp.asarray(np.random.default_rng(13).normal(size=(2, 5, 16)), jnp.float32)
+    for routing in ("token_choice", "expert_choice"):
+        layer = MoEMlp(
+            num_experts=E, mlp_dim=32, router_z_loss_coef=coef, routing=routing
+        )
+        variables = layer.init(jax.random.key(0), y)
+        params = jax.tree.map(jnp.asarray, variables["params"])
+        params["router"]["kernel"] = jnp.zeros_like(params["router"]["kernel"])
+        params["router"]["bias"] = jnp.zeros_like(params["router"]["bias"])
+        _, state = layer.apply({"params": params}, y, mutable=["aux"])
+        aux = dict(state)["aux"]
+        (z_leaf,) = jax.tree.leaves(aux["router_z"])
+        np.testing.assert_allclose(
+            float(z_leaf), coef * float(np.log(E)) ** 2, rtol=1e-6
+        )
