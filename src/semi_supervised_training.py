@@ -28,6 +28,19 @@ def parse_args(argv=None) -> argparse.Namespace:
         "fine-tuning (0 = off, reference-equivalent)",
     )
     parser.add_argument("--consistency-threshold", type=float, default=0.95)
+    parser.add_argument(
+        "--strong-augment", choices=("jitter", "randaugment"),
+        default="jitter",
+        help="strong view for the consistency loss: 'jitter' (flip/rotate/"
+        "brightness/contrast) or 'randaugment' (the FixMatch paper's "
+        "RandAugment+Cutout policy, device-side)",
+    )
+    parser.add_argument(
+        "--ema-decay", type=float, default=0.0,
+        help="Mean-Teacher EMA decay for the consistency pseudo-target "
+        "teacher (0 = off, teacher is the live student; 0.999 typical). "
+        "Validation and the returned best model follow the EMA average.",
+    )
     return parser.parse_args(argv)
 
 

@@ -138,6 +138,8 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         pretrained_weights=args.pretrained_weights,
         consistency_weight=getattr(args, "consistency_weight", 0.0),
         consistency_threshold=getattr(args, "consistency_threshold", 0.95),
+        strong_augment=getattr(args, "strong_augment", "jitter"),
+        ema_decay=getattr(args, "ema_decay", 0.0),
         resume=getattr(args, "resume", False),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         num_seeds=getattr(args, "num_seeds", 1),

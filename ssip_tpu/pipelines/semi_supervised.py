@@ -305,6 +305,8 @@ def run_pipeline(config: TrainingConfig) -> Dict[str, Dict[str, float]]:
             stream_name="semi_finetune",
             consistency_weight=config.consistency_weight,
             confidence_threshold=config.consistency_threshold,
+            strong_aug=config.strong_augment,
+            ema_decay=config.ema_decay,
             early_stopping_patience=config.early_stopping_patience,
             resume_path=config.resume_path("semi_finetune"),
             mesh=mesh,

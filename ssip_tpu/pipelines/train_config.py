@@ -55,6 +55,14 @@ class TrainingConfig:
     # reference-equivalent behavior)
     consistency_weight: float = 0.0
     consistency_threshold: float = 0.95
+    # strong view for the consistency loss: "jitter" (flip/rotate/
+    # brightness/contrast) or "randaugment" (the FixMatch paper's
+    # RandAugment+Cutout policy, ops/randaugment.py)
+    strong_augment: str = "jitter"
+    # Mean-Teacher EMA decay for the consistency phase's pseudo-target
+    # teacher (0 = off: the teacher is the live student). 0.999 typical;
+    # eval/best-state follow the EMA model when on (train/consistency.py).
+    ema_decay: float = 0.0
     # mid-run resume: snapshot TrainState every epoch under
     # models/checkpoints/ and restore on restart (preemption-safe training)
     resume: bool = False

@@ -190,3 +190,81 @@ def test_fixmatch_includes_moe_aux_loss(data):
     hist_lo = run(moe_model(1e-6))
     assert np.isfinite(hist_hi["train_loss"][0])
     assert hist_hi["train_loss"][0] > hist_lo["train_loss"][0] + 1.0
+
+
+def test_ema_epoch_recurrence(data):
+    """One-step epoch with ema_decay=d: the returned average must be exactly
+    d*ema0 + (1-d)*params1 — the Mean-Teacher recurrence."""
+    from ssip_tpu.train.consistency import make_fixmatch_epoch
+
+    dataset, pool = data
+    d = 0.9
+    state = _state()
+    ema0 = state.params
+    rng = np.random.default_rng(0)
+    s, b, u = 1, 4, 4
+    images = dataset.images_u8[:b][None]
+    labels = dataset.labels_dev[:b][None]
+    valid = jnp.ones((s, b), dtype=bool)
+    unl = pool[:u][None]
+    keys = jax.random.split(jax.random.key(0), s)
+
+    epoch = make_fixmatch_epoch(1.0, 0.0, ema_decay=d)
+    new_state, ema1, *_ = epoch(state, ema0, images, labels, valid, unl, keys)
+    expect = jax.tree.map(
+        lambda e, p: e * d + p * (1.0 - d), ema0, new_state.params
+    )
+    flat_got = jax.tree.leaves(ema1)
+    flat_exp = jax.tree.leaves(expect)
+    for g, e in zip(flat_got, flat_exp):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(e), rtol=1e-5, atol=1e-7
+        )
+    # and the EMA genuinely lags the student
+    moved = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(ema1), jax.tree.leaves(new_state.params))
+    )
+    assert moved > 0.0
+
+
+def test_ema_driver_returns_ema_best_state(data):
+    """train_fixmatch(ema_decay>0) trains, and the returned best state is the
+    EMA model (params differ from a run without EMA; history well-formed)."""
+    dataset, pool = data
+    state, history = train_fixmatch(
+        _state(), dataset, dataset, pool,
+        num_epochs=2, batch_size=8, unlabeled_batch_size=8,
+        seed=42, stream_name="fixema", consistency_weight=1.0,
+        confidence_threshold=0.6, early_stopping_patience=10,
+        ema_decay=0.99,
+    )
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(history["val_loss"]))
+    # with d=0.99 over ~4 steps the EMA must still sit near the init, far
+    # from the adapted student of the no-EMA run
+    plain_state, _ = train_fixmatch(
+        _state(), dataset, dataset, pool,
+        num_epochs=2, batch_size=8, unlabeled_batch_size=8,
+        seed=42, stream_name="fixplain", consistency_weight=1.0,
+        confidence_threshold=0.6, early_stopping_patience=10,
+    )
+    init = _state().params
+    dist_ema = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(init))
+    )
+    dist_plain = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(plain_state.params), jax.tree.leaves(init))
+    )
+    assert dist_ema < dist_plain
+
+
+def test_ema_decay_validation():
+    from ssip_tpu.train.consistency import make_fixmatch_epoch
+
+    with pytest.raises(ValueError):
+        make_fixmatch_epoch(1.0, 0.5, ema_decay=1.0)
+    with pytest.raises(ValueError):
+        make_fixmatch_epoch(1.0, 0.5, ema_decay=-0.1)
