@@ -106,6 +106,105 @@ def _attention_pallas(
     return out.reshape(b, h, s_pad, dh)[:, :, :s, :]
 
 
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, kv_len: int, scale: float,
+):
+    """Backward for one (batch·head) block, all residents in VMEM.
+
+    Recomputes the probability matrix (cheaper than writing [S, S] f32 to
+    HBM in the forward) and applies the standard softmax-attention VJP:
+    dV = Pᵀ·dO, dP = dO·Vᵀ, dS = P ⊙ (dP − rowsum(dP ⊙ P)),
+    dQ = s·dS·K, dK = s·dSᵀ·Q. Padded query rows carry dO = 0 so their dS
+    rows vanish; padded key columns carry P = 0 so their dK/dV rows vanish —
+    no extra masking beyond the forward's key mask is needed.
+    """
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * np.float32(scale)
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    # contract the query axes directly — no VMEM transposes
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * np.float32(scale)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * np.float32(scale)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _attention_pallas_bwd(
+    q: jax.Array, k: jax.Array, v: jax.Array, do: jax.Array,
+    interpret: bool = False,
+):
+    b, h, s, dh = q.shape
+    s_pad = max(128, -(-s // 128) * 128)
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        return x.reshape(b * h, s_pad, dh)
+
+    spec = pl.BlockSpec(
+        (1, s_pad, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((b * h, s_pad, dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        partial(_attn_bwd_kernel, kv_len=s, scale=1.0 / float(np.sqrt(dh))),
+        out_shape=(shape, shape, shape),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * s_pad * s_pad * dh,
+            bytes_accessed=7 * b * h * s_pad * dh * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(prep(q), prep(k), prep(v), prep(do))
+
+    def post(x):
+        return x.reshape(b, h, s_pad, dh)[:, :, :s, :]
+
+    return post(dq), post(dk), post(dv)
+
+
+# pallas_call has no autodiff rule, so the fused path is wrapped in a
+# custom VJP whose backward is a second single-block kernel (the [S, S]
+# probability matrix is recomputed in VMEM, never staged through HBM) —
+# ViT/MoE *training* on TPU differentiates straight through this.
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_fused(q, k, v, interpret=False):
+    return _attention_pallas(q, k, v, interpret=interpret)
+
+
+def _attention_fused_fwd(q, k, v, interpret):
+    return _attention_pallas(q, k, v, interpret=interpret), (q, k, v)
+
+
+def _attention_fused_bwd(interpret, res, do):
+    q, k, v = res
+    return _attention_pallas_bwd(q, k, v, do, interpret=interpret)
+
+
+_attention_fused.defvjp(_attention_fused_fwd, _attention_fused_bwd)
+
+
 def fused_attention(
     q: jax.Array,
     k: jax.Array,
@@ -127,5 +226,5 @@ def fused_attention(
     if interpret:
         use_pallas = True
     if use_pallas and q.shape[2] <= _MAX_FUSED_SEQ:
-        return _attention_pallas(q, k, v, interpret=interpret)
+        return _attention_fused(q, k, v, interpret)
     return attention_xla(q, k, v)

@@ -194,6 +194,34 @@ def test_fused_attention_pallas_interpret_matches_xla():
     np.testing.assert_allclose(fused, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_fused_attention_pallas_interpret_grads_match_xla():
+    # pallas_call has no autodiff rule — the custom VJP (Pallas backward
+    # kernel, ops/attention.py:_attn_bwd_kernel) is what makes ViT/MoE
+    # TRAINING on TPU possible at all; assert it against jax.grad through
+    # the XLA path, including the pad-to-128 key masking at S=197.
+    rng = np.random.default_rng(11)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 2, 197, 16)), jnp.float32)
+        for _ in range(3)
+    )
+    cot = jnp.asarray(rng.normal(size=(1, 2, 197, 16)), jnp.float32)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v) * cot)
+
+    got = jax.grad(
+        lambda q, k, v: loss(
+            lambda *a: fused_attention(*a, interpret=True), q, k, v
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    ref = jax.grad(
+        lambda q, k, v: loss(attention_xla, q, k, v), argnums=(0, 1, 2)
+    )(q, k, v)
+    for g, r, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(g, r, atol=2e-5, rtol=1e-4, err_msg=name)
+
+
 def test_vit_trains_and_freezes_backbone():
     from ssip_tpu.train.engine import (
         DeviceDataset, TrainState, make_optimizer, train_model,
