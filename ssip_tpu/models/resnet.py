@@ -22,6 +22,7 @@ mapping is mechanical.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -30,6 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssip_tpu.ops.pool import stem_max_pool
+
+
+def _s2d_stem_enabled() -> bool:
+    """Space-to-depth stem on by default; SSIP_S2D_STEM=0 falls back."""
+    return os.environ.get("SSIP_S2D_STEM", "1") != "0"
 
 # torchvision BasicBlock stage widths for resnet18/34.
 RESNET18_STAGES: tuple[int, ...] = (2, 2, 2, 2)
@@ -103,6 +109,60 @@ class MaskedBatchNorm(nn.Module):
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.compute_dtype)
+
+
+class StemConv(nn.Module):
+    """torchvision's 7×7/2 stem conv, executed as a space-to-depth 4×4/1 conv.
+
+    A 7×7 conv over 3 input channels uses 3 of the MXU's 128 contraction
+    lanes — the single worst-utilized op in the network. The MLPerf-style
+    space-to-depth reparametrization regroups the input into 2×2 pixel
+    blocks ([N,H,W,3] → [N,H/2,W/2,12]) and rewrites the kernel so the same
+    MACs run as a stride-1 4×4 conv over 12 channels: pixel index
+    ``2m-3+a`` equals block ``2(m-2) + (a+1)``, so the 7 taps occupy 4
+    blocks with one zero-padded tap, and pixel padding (3,3) becomes block
+    padding (2,1).
+
+    The *parameter* stays the torchvision-shaped ``kernel`` (7,7,C,64) with
+    flax's stock initializer under the same ``conv1/kernel`` path —
+    checkpoints, torch porting (models/port_torch.py) and seeded init are
+    byte-identical either way; only the apply-time schedule changes (same
+    arithmetic, re-associated — f32 agreement ~1e-6 rel). ``SSIP_S2D_STEM=0``
+    or odd spatial sizes fall back to the direct 7×7 conv.
+    """
+
+    features: int = 64
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, cin, self.features), jnp.float32,
+        )
+        x = x.astype(self.compute_dtype)
+        k = kernel.astype(self.compute_dtype)
+        n, h, w, _ = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not (_s2d_stem_enabled() and h % 2 == 0 and w % 2 == 0):
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn
+            )
+        xb = (
+            x.reshape(n, h // 2, 2, w // 2, 2, cin)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * cin)
+        )
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # 7 taps → 4 blocks
+        kb = (
+            kp.reshape(4, 2, 4, 2, cin, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * cin, self.features)
+        )
+        return jax.lax.conv_general_dilated(
+            xb, kb, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn
+        )
 
 
 class BasicBlock(nn.Module):
@@ -225,10 +285,7 @@ class ResNet(nn.Module):
         mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.compute_dtype, name="conv1",
-        )(x)
+        x = StemConv(64, compute_dtype=self.compute_dtype, name="conv1")(x)
         x = MaskedBatchNorm(compute_dtype=self.compute_dtype, name="bn1")(
             x, use_running_average=not train, mask=mask
         )
