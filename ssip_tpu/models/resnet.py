@@ -33,9 +33,21 @@ import numpy as np
 from ssip_tpu.ops.pool import stem_max_pool
 
 
-def _s2d_stem_enabled() -> bool:
-    """Space-to-depth stem on by default; SSIP_S2D_STEM=0 falls back."""
-    return os.environ.get("SSIP_S2D_STEM", "1") != "0"
+def _s2d_stem_enabled(train: bool) -> bool:
+    """Whether to run the stem as a space-to-depth conv.
+
+    ``SSIP_S2D_STEM``: ``train`` (default) enables it for training only —
+    inference measured it as a ~2.5% LOSS on v5e (XLA already tiles the
+    frozen stem well; models/inference.py:25-32 records the experiment),
+    while the train step repeats the under-tiled stem forward+backward every
+    step. ``1`` forces it everywhere, ``0`` disables it.
+    """
+    mode = os.environ.get("SSIP_S2D_STEM", "train")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return train
 
 # torchvision BasicBlock stage widths for resnet18/34.
 RESNET18_STAGES: tuple[int, ...] = (2, 2, 2, 2)
@@ -127,15 +139,19 @@ class StemConv(nn.Module):
     flax's stock initializer under the same ``conv1/kernel`` path —
     checkpoints, torch porting (models/port_torch.py) and seeded init are
     byte-identical either way; only the apply-time schedule changes (same
-    arithmetic, re-associated — f32 agreement ~1e-6 rel). ``SSIP_S2D_STEM=0``
-    or odd spatial sizes fall back to the direct 7×7 conv.
+    arithmetic, re-associated — f32 agreement ~1e-6 rel).
+
+    Default scope is TRAINING ONLY (see ``_s2d_stem_enabled``): the frozen
+    inference stem measured ~2.5% *slower* under s2d on v5e
+    (models/inference.py:25-32), so eval keeps the direct conv unless
+    ``SSIP_S2D_STEM=1`` forces it. Odd spatial sizes always fall back.
     """
 
     features: int = 64
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -145,7 +161,7 @@ class StemConv(nn.Module):
         k = kernel.astype(self.compute_dtype)
         n, h, w, _ = x.shape
         dn = ("NHWC", "HWIO", "NHWC")
-        if not (_s2d_stem_enabled() and h % 2 == 0 and w % 2 == 0):
+        if not (_s2d_stem_enabled(train) and h % 2 == 0 and w % 2 == 0):
             return jax.lax.conv_general_dilated(
                 x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn
             )
@@ -285,7 +301,9 @@ class ResNet(nn.Module):
         mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
         x = x.astype(self.compute_dtype)
-        x = StemConv(64, compute_dtype=self.compute_dtype, name="conv1")(x)
+        x = StemConv(64, compute_dtype=self.compute_dtype, name="conv1")(
+            x, train=train
+        )
         x = MaskedBatchNorm(compute_dtype=self.compute_dtype, name="bn1")(
             x, use_running_average=not train, mask=mask
         )

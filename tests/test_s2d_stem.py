@@ -71,6 +71,18 @@ class TestS2DStem:
         kernel = variables["params"]["conv1"]["kernel"]
         assert kernel.shape == (7, 7, 3, 64)
 
+    def test_default_scope_is_train_only(self, monkeypatch):
+        """Inference measured s2d as a loss on v5e (models/inference.py:25-32)."""
+        from ssip_tpu.models.resnet import _s2d_stem_enabled
+
+        monkeypatch.delenv("SSIP_S2D_STEM", raising=False)
+        assert _s2d_stem_enabled(train=True) is True
+        assert _s2d_stem_enabled(train=False) is False
+        monkeypatch.setenv("SSIP_S2D_STEM", "1")
+        assert _s2d_stem_enabled(train=False) is True
+        monkeypatch.setenv("SSIP_S2D_STEM", "0")
+        assert _s2d_stem_enabled(train=True) is False
+
     def test_seeded_init_invariant_to_flag(self, monkeypatch):
         """Init draws come from the param path, not the apply schedule."""
         kernels = {}
