@@ -376,7 +376,12 @@ def random_rotate_nearest(
     ) * (jnp.pi / 180.0)
     iy, ix, valid = _rotation_index_map(angles, h, w)
     if _use_mxu_rotation(images, max_degrees):
-        blocked_ok = os.environ.get("SSIP_ROTATE_BLOCKED", "1") != "0"
+        # Default is the row-banded kernel: the column-blocked variant wins
+        # the standalone microbench but LOSES the fused train step badly
+        # (bf16 batch-128 v5e ablation 2026-08-19: blocked 16.5 steps/s vs
+        # row-banded 28.6 — the extra band gathers starve the conv pipeline).
+        # SSIP_ROTATE_BLOCKED=1 opts back in.
+        blocked_ok = os.environ.get("SSIP_ROTATE_BLOCKED", "0") == "1"
         if blocked_ok and _mxu_geometry_blocked(h, w, max_degrees) is not None:
             return _rotate_mxu_blocked(images, iy, ix, valid, max_degrees)
         return _rotate_mxu(images, iy, ix, valid, max_degrees)

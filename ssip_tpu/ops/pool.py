@@ -125,12 +125,16 @@ def stem_max_pool(x: jnp.ndarray) -> jnp.ndarray:
 
     import flax.linen as nn
 
+    # Default is stock XLA SelectAndScatter: the argmax-pads backward looked
+    # fusion-friendly but LOSES the fused train step (bf16 batch-128 v5e
+    # ablation 2026-08-19: custom 16.5 steps/s vs XLA 21.5 with the blocked
+    # rotation on; the all-XLA step runs 47.9). SSIP_POOL_FUSED_BWD=1 opts in.
     use_custom = (
         _FORCE_CUSTOM
         if _FORCE_CUSTOM is not None
         else (
             jax.default_backend() == "tpu"
-            and os.environ.get("SSIP_POOL_FUSED_BWD", "1") != "0"
+            and os.environ.get("SSIP_POOL_FUSED_BWD", "0") == "1"
         )
     )
     if use_custom:
