@@ -95,12 +95,21 @@ def main() -> None:
         "quantized forward) instead of the bf16 default",
     )
     parser.add_argument(
+        "--arch", default="resnet18",
+        help="backbone to profile (resnet18 default; any MODEL_FACTORIES "
+        "key, e.g. vit_b16 — bf16 only, --int8 stays ResNet)",
+    )
+    parser.add_argument(
         "--parse-only", action="store_true",
         help="skip tracing; re-summarize the latest trace on disk",
     )
     parser.add_argument("--output-dir", type=Path, default=REPO / "outputs")
     args = parser.parse_args()
-    tag = "embed_int8" if args.int8 else "embed_bf16"
+    if args.int8 and args.arch != "resnet18":
+        raise SystemExit("--int8 profiles the ResNet-18 PTQ path only")
+    tag = "embed_int8" if args.int8 else (
+        "embed_bf16" if args.arch == "resnet18" else f"embed_bf16_{args.arch}"
+    )
 
     if args.parse_only:
         profile_dir = args.output_dir / "profile" / tag
@@ -143,7 +152,14 @@ def main() -> None:
     )
     jax.block_until_ready(batches)
 
-    model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
+    if args.arch == "resnet18":
+        model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
+    else:
+        from ssip_tpu.models import MODEL_FACTORIES
+
+        model = MODEL_FACTORIES[args.arch](
+            num_classes=None, compute_dtype=jnp.bfloat16
+        )
     host_variables = seeded_init_host(model, 42, (1, 224, 224, 3))
     variables = jax.device_put(host_variables)
 
@@ -221,8 +237,9 @@ def summarize(args, profile_dir: Path, imgs: int, wall: float) -> None:
 
     device_imgs_per_sec = imgs / (total / 1e6)
     lines = [
-        "# Embed-path profile (%s, batch %d)"
-        % ("int8 PTQ" if getattr(args, "int8", False) else "bf16", args.batch),
+        "# Embed-path profile (%s %s, batch %d)"
+        % (getattr(args, "arch", "resnet18"),
+           "int8 PTQ" if getattr(args, "int8", False) else "bf16", args.batch),
         "",
         f"Traced `{traces[-1].relative_to(args.output_dir)}` — "
         f"{imgs} images; device busy time {total / 1e3:.0f} ms "
@@ -257,10 +274,12 @@ def summarize(args, profile_dir: Path, imgs: int, wall: float) -> None:
             f"| {gbps:.0f} |"
         )
     lines.append("")
+    arch = getattr(args, "arch", "resnet18")
     out_md = args.output_dir / "notes" / (
         "profile_embed_int8.md"
         if getattr(args, "int8", False)
-        else "profile_embed.md"
+        else ("profile_embed.md" if arch == "resnet18"
+              else f"profile_embed_{arch}.md")
     )
     out_md.parent.mkdir(parents=True, exist_ok=True)
     out_md.write_text("\n".join(lines))

@@ -43,6 +43,13 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument(
+        "--only-vit", action="store_true",
+        help="measure only the ViT embedding rows (bf16 fused-attention, "
+        "int8 PTQ, MoE) and merge them into the existing benchmarks.json — "
+        "used to fill rows added while the accelerator was unreachable "
+        "without re-running the whole (hour-scale) harness",
+    )
+    parser.add_argument(
         "--skip-e2e", action="store_true",
         help="skip the (slow, weather-bound) cold e2e extraction section; "
         "on-chip + train + decode numbers still run",
@@ -117,10 +124,13 @@ def main() -> None:
             return c
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
-    record(
-        "preprocess_imgs_per_sec",
-        measure_rate(lambda r: pp_loop(batches, r), LO, HI, items_per_rep=NB * B),
-    )
+    if not args.only_vit:
+        record(
+            "preprocess_imgs_per_sec",
+            measure_rate(
+                lambda r: pp_loop(batches, r), LO, HI, items_per_rep=NB * B
+            ),
+        )
 
     # 2. embedding throughput: shipped plain bf16, the manual folded-BN/s2d
     #    variant (kept as a measured record), and the f32 parity mode
@@ -159,15 +169,16 @@ def main() -> None:
 
     # Headline: the shipped plain bf16 forward (measured faster than the
     # manual folded-BN/s2d variant — XLA already fuses inference BN).
-    bf16_model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
-    embed_variant(
-        "bf16",
-        lambda v, x: bf16_model.apply(v, x, train=False),
-        jax.device_put(host_variables),
-        jnp.bfloat16,
-        HI,
-    )
-    if not args.quick:
+    if not args.only_vit:
+        bf16_model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
+        embed_variant(
+            "bf16",
+            lambda v, x: bf16_model.apply(v, x, train=False),
+            jax.device_put(host_variables),
+            jnp.bfloat16,
+            HI,
+        )
+    if not args.quick and not args.only_vit:
         folded = jax.device_put(fold_resnet_extractor(host_variables))
         embed_variant(
             "bf16_folded_s2d",
@@ -255,9 +266,15 @@ def main() -> None:
             max(LO + 1, HI // 2), raw=True,
         )
 
+    if not args.quick or args.only_vit:
         # ViT-B/16 bf16 (models/vit.py): all-matmul encoder, fused Pallas
         # attention on TPU (ops/attention.py). ~4.6× the ResNet-18 FLOPs
         # per image, but nearly all of them land on the MXU as large GEMMs.
+        calib = (
+            preprocess_images_pallas(batches[0], out_dtype=jnp.float32)
+            if on_tpu
+            else extraction_preprocess(batches[0], dtype=jnp.float32)
+        )
         from ssip_tpu.models import MODEL_FACTORIES
 
         vit = MODEL_FACTORIES["vit_b16"](
@@ -341,6 +358,29 @@ def main() -> None:
             )
         except Exception as exc:
             log(f"bf16_vit_moe_s16 FAILED ({exc}); skipping")
+
+    if args.only_vit:
+        # Merge the fresh ViT rows into the previous full run's table and
+        # re-render; every carried row keeps its recorded spread/link info.
+        notes = args.output_dir / "notes"
+        prev = notes / "benchmarks.json"
+        if prev.exists():
+            for k, v in json.loads(prev.read_text()).items():
+                if k not in results:
+                    results[k] = v
+        results.update(REFERENCE)
+        results["platform"] = str(jax.devices()[0])
+        notes.mkdir(parents=True, exist_ok=True)
+        (notes / "benchmarks.json").write_text(
+            json.dumps(results, indent=2, default=str)
+        )
+        render_md(results, notes, on_tpu)
+        print(json.dumps({
+            k: results[k] for k in sorted(results)
+            if k.startswith("embedding_") and "vit" in k
+            and not k.endswith("_spread")
+        }))
+        return
 
     # 3. train step/sec (fused epochs): f32 reference-parity mode and the
     #    bf16 throughput mode (--compute-dtype bfloat16; params/BN/loss f32)
