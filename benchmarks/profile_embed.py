@@ -212,8 +212,17 @@ def main() -> None:
 
     profile_dir = args.output_dir / "profile" / tag
     profile_dir.mkdir(parents=True, exist_ok=True)
+    # Host python-call events can flood the trace's ~1M event cap on long
+    # windows (a 60 s ViT window produced 1,000,000 python events and ZERO
+    # device events) — the device timeline is all we parse, so turn the
+    # python tracer off.
+    opts = jax.profiler.ProfileOptions()
+    opts.python_tracer_level = 0
+    opts.host_tracer_level = 1
     t0 = time.perf_counter()
-    with jax.profiler.trace(str(profile_dir), create_perfetto_trace=True):
+    with jax.profiler.trace(
+        str(profile_dir), create_perfetto_trace=True, profiler_options=opts
+    ):
         float(embed_all(batches, variables, args.passes))
     wall = time.perf_counter() - t0
     imgs = args.passes * args.n_batches * args.batch
