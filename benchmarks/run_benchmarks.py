@@ -64,6 +64,12 @@ def main() -> None:
         "when jax is pre-imported at interpreter startup)",
     )
     args = parser.parse_args()
+    if args.quick and args.only_vit:
+        # --quick shrinks the measurement windows to smoke size; merging
+        # those into the published benchmarks.{json,md} would present
+        # non-publishable numbers as measurements (advisor round-3 finding)
+        parser.error("--quick and --only-vit are mutually exclusive: "
+                     "--only-vit writes into the published table")
 
     from ssip_tpu.runtime.device import force_cpu_platform_if_requested
 
@@ -195,6 +201,18 @@ def main() -> None:
             jnp.float32,
             max(LO + 1, HI // 2),
         )
+    # shared int8 calibration batch (ResNet + ViT PTQ sections below) —
+    # computed once (advisor round-3: it was built twice, recompiling and
+    # re-running the preprocessing of batches[0])
+    calib = None
+    if not args.quick:
+        calib = (
+            preprocess_images_pallas(batches[0], out_dtype=jnp.float32)
+            if on_tpu
+            else extraction_preprocess(batches[0], dtype=jnp.float32)
+        )
+
+    if not args.quick and not args.only_vit:
         # int8 post-training quantization (models/quantized.py): the MXU's
         # s8×s8→s32 mode — max-throughput approximate mode.
         from ssip_tpu.models.quantized import (
@@ -202,11 +220,6 @@ def main() -> None:
             quantize_extractor,
         )
 
-        calib = (
-            preprocess_images_pallas(batches[0], out_dtype=jnp.float32)
-            if on_tpu
-            else extraction_preprocess(batches[0], dtype=jnp.float32)
-        )
         qtree = jax.device_put(quantize_extractor(host_variables, calib))
         q_apply = make_quantized_apply()
         q_apply_pre = make_quantized_apply(stem_prequantized=True)
@@ -266,15 +279,10 @@ def main() -> None:
             max(LO + 1, HI // 2), raw=True,
         )
 
-    if not args.quick or args.only_vit:
+    if not args.quick:
         # ViT-B/16 bf16 (models/vit.py): all-matmul encoder, fused Pallas
         # attention on TPU (ops/attention.py). ~4.6× the ResNet-18 FLOPs
         # per image, but nearly all of them land on the MXU as large GEMMs.
-        calib = (
-            preprocess_images_pallas(batches[0], out_dtype=jnp.float32)
-            if on_tpu
-            else extraction_preprocess(batches[0], dtype=jnp.float32)
-        )
         from ssip_tpu.models import MODEL_FACTORIES
 
         vit = MODEL_FACTORIES["vit_b16"](
@@ -361,13 +369,32 @@ def main() -> None:
 
     if args.only_vit:
         # Merge the fresh ViT rows into the previous full run's table and
-        # re-render; every carried row keeps its recorded spread/link info.
+        # re-render. Every carried row is LISTED in ``carried_stale`` so
+        # render_md can annotate it (advisor round-3: carried rows rendered
+        # as freshly measured), and a superseded ViT variant (the Pallas
+        # row when this run fell back to XLA attention, or vice versa) is
+        # dropped rather than shown next to its replacement.
         notes = args.output_dir / "notes"
         prev = notes / "benchmarks.json"
+        superseded = set()
+        for a, b in (
+            ("embedding_bf16_vit_b16_imgs_per_sec",
+             "embedding_bf16_vit_b16_xla_attn_imgs_per_sec"),
+        ):
+            if a in results:
+                superseded.update({b, b + "_spread"})
+            elif b in results:
+                superseded.update({a, a + "_spread"})
+        carried = []
         if prev.exists():
             for k, v in json.loads(prev.read_text()).items():
-                if k not in results:
-                    results[k] = v
+                if k in results or k in superseded or k == "carried_stale":
+                    continue
+                results[k] = v
+                if not k.endswith("_spread") and isinstance(v, (int, float)):
+                    carried.append(k)
+        results["carried_stale"] = sorted(carried)
+        results["e2e_stale"] = any(k.startswith("e2e_") for k in carried)
         results.update(REFERENCE)
         results["platform"] = str(jax.devices()[0])
         notes.mkdir(parents=True, exist_ok=True)
@@ -533,12 +560,17 @@ def main() -> None:
 
 def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
     """Render ``benchmarks.md`` from a (possibly reloaded) results dict."""
+    carried = set(results.get("carried_stale", []))
 
     def fmt(key: str) -> str:
         v = float(results.get(key, 0.0))
         s = results.get(key + "_spread")
         base = f"{v:.1f}" if v < 100 else f"{v:.0f}"
-        return base + (f" (±{float(s) * 50:.0f}%)" if s is not None else "")
+        spread = f" (±{float(s) * 50:.0f}%)" if s is not None else ""
+        # rows merged forward by --only-vit are measurements from a
+        # PREVIOUS run — never render them as fresh
+        stale = " (stale: carried)" if key in carried else ""
+        return base + spread + stale
 
     emb = float(results.get("embedding_bf16_imgs_per_sec", 0.0))
     lines = [
@@ -653,7 +685,11 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
     for label in ("native", "pil"):
         key = f"decode_{label}_imgs_per_sec"
         if key in results:
-            lines.append(f"| Host decode ({label}, 64 imgs) | {results[key]:.0f} imgs/s/core | — |")
+            stale = " (stale: carried)" if key in carried else ""
+            lines.append(
+                f"| Host decode ({label}, 64 imgs) | "
+                f"{results[key]:.0f} imgs/s/core{stale} | — |"
+            )
     lines.append("")
     lines.append(
         f"On-chip embedding vs reference end-to-end: **{emb / 359.0:.1f}×**; "

