@@ -49,8 +49,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ssip_tpu.models.vit import LN_EPS, EncoderBlock
-from ssip_tpu.ops.attention import fused_attention
+from ssip_tpu.models.vit import EncoderBlock, FusedLayerNorm
+from ssip_tpu.ops.attention import fused_attention_qkv
 
 # Per-expert lecun_normal: fan from the (in, out) trailing axes; the leading
 # expert axis is a batch axis, NOT receptive field (default fan computation
@@ -235,22 +235,14 @@ class MoEEncoderBlock(nn.Module):
         b, s, d = x.shape
         if d % self.num_heads != 0:
             raise ValueError(f"hidden dim {d} not divisible by {self.num_heads} heads")
-        dh = d // self.num_heads
 
-        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_1")(
-            x.astype(jnp.float32)
-        ).astype(self.compute_dtype)
+        y = FusedLayerNorm(out_dtype=self.compute_dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(y)
-        qkv = qkv.reshape(b, s, 3, self.num_heads, dh)
-        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
-        o = fused_attention(q, k, v)
-        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
+        o = fused_attention_qkv(qkv, self.num_heads)
         o = nn.Dense(d, dtype=self.compute_dtype, name="out")(o)
         x = x + o.astype(x.dtype)
 
-        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_2")(
-            x.astype(jnp.float32)
-        ).astype(self.compute_dtype)
+        y = FusedLayerNorm(out_dtype=self.compute_dtype, name="ln_2")(x)
         y = MoEMlp(
             num_experts=self.num_experts,
             mlp_dim=self.mlp_dim,
@@ -345,10 +337,11 @@ class MoEVisionTransformer(nn.Module):
                     compute_dtype=self.compute_dtype, name=f"block{i}",
                 )(x)
 
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln")(
-            x.astype(jnp.float32)
+        # per-row LN: normalizing only the class token equals
+        # normalize-then-slice (models/vit.py does the same)
+        features = FusedLayerNorm(out_dtype=jnp.float32, name="ln")(
+            x[:, 0].astype(jnp.float32)
         )
-        features = x[:, 0]
         if self.num_classes is None:
             return features
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(features)

@@ -30,17 +30,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssip_tpu.models.vit import LN_EPS, VIT_CONFIGS
-from ssip_tpu.ops.attention import fused_attention
+from ssip_tpu.ops.attention import fused_attention_qkv
+from ssip_tpu.ops.layernorm import layer_norm
 
 _QMAX = 127.0
 
 
 def _ln(x: jax.Array, p: Dict[str, Any]) -> jax.Array:
-    """torch-exact LayerNorm (eps 1e-6) in f32."""
-    x = x.astype(jnp.float32)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * p["scale"] + p["bias"]
+    """LayerNorm (eps 1e-6): f32 moments, result in the stream's dtype.
+
+    Keeping the quantized path's inter-site stream bf16-resident (instead
+    of the old materialized-f32 LN) removes the same convert stalls the
+    dense ViT had (ops/layernorm.py) — the f32 epilogue share was the
+    round-3 Amdahl cap on int8 ViT gains.
+    """
+    return layer_norm(x, p["scale"], p["bias"], eps=LN_EPS)
 
 
 def _quant(x: jax.Array, inv_scale: jax.Array) -> jax.Array:
@@ -80,12 +84,9 @@ def _vit_flow(tree: Dict[str, Any], x: jax.Array, cfg: Dict[str, int],
     for blk in tree["blocks"]:
         y = _ln(x, blk["ln_1"])
         qkv = site_fn(y, blk, "qkv")  # [B, S, 3D] f32
-        qkv = qkv.reshape(b, s, 3, heads, d // heads).astype(inter_dtype)
-        q, k, v = (
-            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
-        )
-        o = fused_attention(q, k, v)
-        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
+        # packed qkv feeds the attention kernel directly (column order
+        # [3, H, Dh] — the same layout contract as models/vit.py)
+        o = fused_attention_qkv(qkv.astype(inter_dtype), heads)
         o = site_fn(o, blk, "out")
         x = (x.astype(jnp.float32) + o).astype(inter_dtype)
 
@@ -95,8 +96,8 @@ def _vit_flow(tree: Dict[str, Any], x: jax.Array, cfg: Dict[str, int],
         y = site_fn(y, blk, "mlp_2")
         x = (x.astype(jnp.float32) + y).astype(inter_dtype)
 
-    x = _ln(x, tree["ln"])
-    return x[:, 0].astype(jnp.float32)
+    # rowwise LN: normalize only the class token (== normalize-then-slice)
+    return _ln(x[:, 0], tree["ln"]).astype(jnp.float32)
 
 
 def _f32_tree(variables: Dict[str, Any], num_layers: int) -> Dict[str, Any]:

@@ -34,9 +34,33 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ssip_tpu.ops.attention import fused_attention
+from ssip_tpu.ops.attention import fused_attention_qkv
+from ssip_tpu.ops.layernorm import layer_norm
 
 LN_EPS = 1e-6  # torchvision ViT's norm_layer = partial(LayerNorm, eps=1e-6)
+
+
+class FusedLayerNorm(nn.Module):
+    """LayerNorm keeping the residual stream resident in its own dtype.
+
+    The flax ``nn.LayerNorm(dtype=f32)`` + astype sandwich materialized a
+    full f32 copy of the [B, S, D] stream per LN on TPU (~30% of ViT-B/16
+    embed device time, outputs/notes/profile_embed_vit_b16.md); the fused
+    op (ops/layernorm.py) computes f32 moments in-register and reads/writes
+    bf16 once. Parameter names/shapes match ``nn.LayerNorm`` (scale, bias —
+    f32), so checkpoints and torch porting are unaffected.
+    """
+
+    epsilon: float = LN_EPS
+    out_dtype: Any = None  # None: keep the input dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        y = layer_norm(x, scale, bias, eps=self.epsilon)
+        return y if self.out_dtype is None else y.astype(self.out_dtype)
 
 
 class EncoderBlock(nn.Module):
@@ -51,24 +75,16 @@ class EncoderBlock(nn.Module):
         b, s, d = x.shape
         if d % self.num_heads != 0:
             raise ValueError(f"hidden dim {d} not divisible by {self.num_heads} heads")
-        dh = d // self.num_heads
 
-        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_1")(
-            x.astype(jnp.float32)
-        ).astype(self.compute_dtype)
+        y = FusedLayerNorm(out_dtype=self.compute_dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(y)
-        qkv = qkv.reshape(b, s, 3, self.num_heads, dh)
-        q, k, v = (
-            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
-        )  # each [B, H, S, Dh]
-        o = fused_attention(q, k, v)
-        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
+        # packed [B, S, 3D] goes straight into the attention kernel — the
+        # per-head q/k/v column slicing happens in its BlockSpec index maps
+        o = fused_attention_qkv(qkv, self.num_heads)
         o = nn.Dense(d, dtype=self.compute_dtype, name="out")(o)
         x = x + o.astype(x.dtype)
 
-        y = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_2")(
-            x.astype(jnp.float32)
-        ).astype(self.compute_dtype)
+        y = FusedLayerNorm(out_dtype=self.compute_dtype, name="ln_2")(x)
         y = nn.Dense(self.mlp_dim, dtype=self.compute_dtype, name="mlp_1")(y)
         # torch nn.GELU default is the exact erf form, not tanh
         y = nn.gelu(y, approximate=False)
@@ -142,10 +158,12 @@ class VisionTransformer(nn.Module):
                 compute_dtype=self.compute_dtype, name=f"block{i}",
             )(x)
 
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln")(
-            x.astype(jnp.float32)
+        # LayerNorm is per-row, so normalizing only the class token equals
+        # torchvision's normalize-then-slice — 1/(tokens) the work, and the
+        # tiny [B, D] f32 LN costs nothing
+        features = FusedLayerNorm(out_dtype=jnp.float32, name="ln")(
+            x[:, 0].astype(jnp.float32)
         )
-        features = x[:, 0]  # class token, f32
         if self.num_classes is None:
             return features
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(features)

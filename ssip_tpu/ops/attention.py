@@ -205,6 +205,186 @@ def _attention_fused_bwd(interpret, res, do):
 _attention_fused.defvjp(_attention_fused_fwd, _attention_fused_bwd)
 
 
+def _attn_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One (batch, head): refs are [1, S, Dh] column slices of packed qkv.
+
+    No padding and no key mask: the block's logical S is the true sequence
+    length (Mosaic tiles the (S, Dh) face internally), so unlike
+    ``_attn_kernel`` there are no garbage rows to neutralize.
+    """
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * np.float32(scale)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+def _attn_qkv_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float
+):
+    """Backward for one (batch, head) off the packed layout; probabilities
+    recomputed in VMEM (same VJP algebra as ``_attn_bwd_kernel``, minus the
+    padding masks — the logical S is exact)."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * np.float32(scale)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref[0] = (
+        jnp.dot(ds, k, preferred_element_type=jnp.float32) * np.float32(scale)
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = (
+        jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * np.float32(scale)
+    ).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _qkv_specs(num_heads: int, s: int, dh: int):
+    """(q, k, v) BlockSpecs slicing head columns straight out of the packed
+    [B, S, 3·H·Dh] qkv GEMM output — the packed column order is [3, H, Dh]
+    (the reshape models/vit.py applies), so q/k/v for head ``h`` live at
+    column blocks ``h``, ``H + h``, ``2H + h`` in units of Dh. Block shape
+    (1, S, Dh) keeps the (S, Dh) face as the Mosaic tiling dims."""
+
+    def spec(j):
+        return pl.BlockSpec(
+            (1, s, dh),
+            lambda b, h, j=j: (b, 0, j * num_heads + h),
+            memory_space=pltpu.VMEM,
+        )
+
+    return spec(0), spec(1), spec(2)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _attention_qkv_pallas(qkv, num_heads: int, interpret: bool = False):
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    dh = d // num_heads
+    qs, ks, vs = _qkv_specs(num_heads, s, dh)
+    out = pl.pallas_call(
+        partial(_attn_qkv_kernel, scale=1.0 / float(np.sqrt(dh))),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        grid=(b, num_heads),
+        in_specs=[qs, ks, vs],
+        out_specs=pl.BlockSpec(
+            (1, s, dh), lambda bi, h: (bi, 0, h), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * s * s * dh,
+            bytes_accessed=4 * b * s * d * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
+
+
+@partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _attention_qkv_pallas_bwd(qkv, do, num_heads: int, interpret: bool = False):
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    dh = d // num_heads
+    qs, ks, vs = _qkv_specs(num_heads, s, dh)
+    o_spec = pl.BlockSpec(
+        (1, s, dh), lambda bi, h: (bi, 0, h), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((b, s, d), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
+        partial(_attn_qkv_bwd_kernel, scale=1.0 / float(np.sqrt(dh))),
+        out_shape=(shape, shape, shape),
+        grid=(b, num_heads),
+        in_specs=[qs, ks, vs, o_spec],
+        out_specs=(o_spec, o_spec, o_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * s * s * dh,
+            bytes_accessed=7 * b * s * d * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, do)
+    # the only bwd-side copy: repack the three column families
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _attention_qkv_fused(qkv, num_heads, interpret=False):
+    return _attention_qkv_pallas(qkv, num_heads, interpret=interpret)
+
+
+def _attention_qkv_fused_fwd(qkv, num_heads, interpret):
+    return _attention_qkv_pallas(qkv, num_heads, interpret=interpret), (qkv,)
+
+
+def _attention_qkv_fused_bwd(num_heads, interpret, res, do):
+    (qkv,) = res
+    return (_attention_qkv_pallas_bwd(qkv, do, num_heads, interpret=interpret),)
+
+
+_attention_qkv_fused.defvjp(_attention_qkv_fused_fwd, _attention_qkv_fused_bwd)
+
+
+def attention_qkv_xla(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """Portable packed-qkv attention: unpack → attention_xla → repack."""
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    dh = d // num_heads
+    parts = qkv.reshape(b, s, 3, num_heads, dh)
+    q, k, v = (jnp.transpose(parts[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    o = attention_xla(q, k, v)
+    return jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
+
+
+def fused_attention_qkv(
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head attention straight off the packed qkv GEMM output.
+
+    ``qkv``: [B, S, 3·D] with columns ordered [3, H, Dh] (the fused Dense
+    in models/vit.py). Returns [B, S, D]. On TPU the Pallas kernel's
+    BlockSpec index maps slice each head's q/k/v columns directly out of
+    the packed array — the [B,S,H,Dh]→[B,H,S,Dh] transposes and the
+    pad-to-128 copies of the unpacked path never exist (they were the
+    15.2% "data formatting" share of the round-3 embed profile,
+    outputs/notes/profile_embed_vit_b16.md).
+    """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("SSIP_ATTN_PALLAS", "1") != "0"
+        )
+    if interpret:
+        use_pallas = True
+    if use_pallas and qkv.shape[1] <= _MAX_FUSED_SEQ:
+        return _attention_qkv_fused(qkv, num_heads, interpret)
+    return attention_qkv_xla(qkv, num_heads)
+
+
 def fused_attention(
     q: jax.Array,
     k: jax.Array,

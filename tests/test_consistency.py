@@ -162,6 +162,11 @@ def test_fixmatch_mesh_matches_unsharded(data):
     np.testing.assert_allclose(
         h1["val_acc"], h8["val_acc"], atol=1 / 16 + 1e-9
     )
+    # the 0.5 rtol alone would accept any loss within 2× — also assert
+    # BOTH runs' val_loss descends (direction sanity, advisor round-3;
+    # same rationale as test_mesh_training.py's epoch-2 commentary)
+    assert h1["val_loss"][-1] < h1["val_loss"][0], h1["val_loss"]
+    assert h8["val_loss"][-1] < h8["val_loss"][0], h8["val_loss"]
 
 
 def test_fixmatch_includes_moe_aux_loss(data):
