@@ -205,76 +205,76 @@ def _attention_fused_bwd(interpret, res, do):
 _attention_fused.defvjp(_attention_fused_fwd, _attention_fused_bwd)
 
 
-def _attn_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    """One (batch, head): refs are [1, S, Dh] column slices of packed qkv.
+def _head_cols(x, h: int, dh: int, j: int, d: int):
+    """Static lane-slice of head ``h``'s q/k/v (j=0/1/2) columns, f32."""
+    c0 = j * d + h * dh
+    return jax.lax.slice_in_dim(x, c0, c0 + dh, axis=1).astype(jnp.float32)
 
-    No padding and no key mask: the block's logical S is the true sequence
-    length (Mosaic tiles the (S, Dh) face internally), so unlike
-    ``_attn_kernel`` there are no garbage rows to neutralize.
+
+def _attn_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
+    """One batch image: qkv_ref [1, S, 3D] packed ([3, H, Dh] columns).
+
+    Heads unroll as a static loop with 64-lane static slices — all VMEM
+    ops, no DMA-side head transposes. Mosaic's block rules require the
+    trailing block dims to be 8/128-divisible OR the full array dims; the
+    full [S, 3D] face satisfies the latter for any S (197 included), so no
+    padding and no key masks are needed — the logical S is exact.
     """
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * np.float32(scale)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
-    )
+    x = qkv_ref[0]
+    d = x.shape[1] // 3
+    dh = d // num_heads
+    for h in range(num_heads):
+        q = _head_cols(x, h, dh, 0, d)
+        k = _head_cols(x, h, dh, 1, d)
+        v = _head_cols(x, h, dh, 2, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * np.float32(scale)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0, :, h * dh : (h + 1) * dh] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
 def _attn_qkv_bwd_kernel(
-    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float
+    qkv_ref, do_ref, dqkv_ref, *, num_heads: int, scale: float
 ):
-    """Backward for one (batch, head) off the packed layout; probabilities
-    recomputed in VMEM (same VJP algebra as ``_attn_bwd_kernel``, minus the
-    padding masks — the logical S is exact)."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * np.float32(scale)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq_ref[0] = (
-        jnp.dot(ds, k, preferred_element_type=jnp.float32) * np.float32(scale)
-    ).astype(dq_ref.dtype)
-    dk_ref[0] = (
-        jax.lax.dot_general(
+    """Backward for one batch image off the packed layout; probabilities
+    recomputed in VMEM (same VJP algebra as ``_attn_bwd_kernel``, minus
+    the padding masks — the logical S is exact). Writes the packed dqkv
+    block directly, so the VJP needs no repacking copy."""
+    x = qkv_ref[0]
+    d = x.shape[1] // 3
+    dh = d // num_heads
+    for h in range(num_heads):
+        q = _head_cols(x, h, dh, 0, d)
+        k = _head_cols(x, h, dh, 1, d)
+        v = _head_cols(x, h, dh, 2, d)
+        do = do_ref[0, :, h * dh : (h + 1) * dh].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * np.float32(scale)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * np.float32(scale)
+        dk = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * np.float32(scale)
-    ).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-
-def _qkv_specs(num_heads: int, s: int, dh: int):
-    """(q, k, v) BlockSpecs slicing head columns straight out of the packed
-    [B, S, 3·H·Dh] qkv GEMM output — the packed column order is [3, H, Dh]
-    (the reshape models/vit.py applies), so q/k/v for head ``h`` live at
-    column blocks ``h``, ``H + h``, ``2H + h`` in units of Dh. Block shape
-    (1, S, Dh) keeps the (S, Dh) face as the Mosaic tiling dims."""
-
-    def spec(j):
-        return pl.BlockSpec(
-            (1, s, dh),
-            lambda b, h, j=j: (b, 0, j * num_heads + h),
-            memory_space=pltpu.VMEM,
+        dqkv_ref[0, :, h * dh : (h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, d + h * dh : d + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * d + h * dh : 2 * d + (h + 1) * dh] = dv.astype(
+            dqkv_ref.dtype
         )
-
-    return spec(0), spec(1), spec(2)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -282,14 +282,19 @@ def _attention_qkv_pallas(qkv, num_heads: int, interpret: bool = False):
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
-    qs, ks, vs = _qkv_specs(num_heads, s, dh)
-    out = pl.pallas_call(
-        partial(_attn_qkv_kernel, scale=1.0 / float(np.sqrt(dh))),
+    return pl.pallas_call(
+        partial(
+            _attn_qkv_kernel, num_heads=num_heads, scale=1.0 / float(np.sqrt(dh))
+        ),
         out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
-        grid=(b, num_heads),
-        in_specs=[qs, ks, vs],
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, three_d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
         out_specs=pl.BlockSpec(
-            (1, s, dh), lambda bi, h: (bi, 0, h), memory_space=pltpu.VMEM
+            (1, s, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * s * s * dh,
@@ -297,8 +302,7 @@ def _attention_qkv_pallas(qkv, num_heads: int, interpret: bool = False):
             transcendentals=b * num_heads * s * s,
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv)
-    return out
+    )(qkv)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -306,26 +310,32 @@ def _attention_qkv_pallas_bwd(qkv, do, num_heads: int, interpret: bool = False):
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
-    qs, ks, vs = _qkv_specs(num_heads, s, dh)
-    o_spec = pl.BlockSpec(
-        (1, s, dh), lambda bi, h: (bi, 0, h), memory_space=pltpu.VMEM
-    )
-    shape = jax.ShapeDtypeStruct((b, s, d), qkv.dtype)
-    dq, dk, dv = pl.pallas_call(
-        partial(_attn_qkv_bwd_kernel, scale=1.0 / float(np.sqrt(dh))),
-        out_shape=(shape, shape, shape),
-        grid=(b, num_heads),
-        in_specs=[qs, ks, vs, o_spec],
-        out_specs=(o_spec, o_spec, o_spec),
+    return pl.pallas_call(
+        partial(
+            _attn_qkv_bwd_kernel,
+            num_heads=num_heads,
+            scale=1.0 / float(np.sqrt(dh)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, three_d), qkv.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, three_d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, s, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, three_d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+        ),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * num_heads * s * s * dh,
             bytes_accessed=7 * b * s * d * qkv.dtype.itemsize,
             transcendentals=b * num_heads * s * s,
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv, do)
-    # the only bwd-side copy: repack the three column families
-    return jnp.concatenate([dq, dk, dv], axis=-1)
+    )(qkv, do)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -366,12 +376,13 @@ def fused_attention_qkv(
     """Multi-head attention straight off the packed qkv GEMM output.
 
     ``qkv``: [B, S, 3·D] with columns ordered [3, H, Dh] (the fused Dense
-    in models/vit.py). Returns [B, S, D]. On TPU the Pallas kernel's
-    BlockSpec index maps slice each head's q/k/v columns directly out of
-    the packed array — the [B,S,H,Dh]→[B,H,S,Dh] transposes and the
-    pad-to-128 copies of the unpacked path never exist (they were the
-    15.2% "data formatting" share of the round-3 embed profile,
-    outputs/notes/profile_embed_vit_b16.md).
+    in models/vit.py). Returns [B, S, D]. On TPU the Pallas kernel takes
+    one image's full [S, 3D] face per grid step (full-array trailing dims
+    are always a legal Mosaic block, any S) and unrolls heads in-kernel
+    with static 64-lane column slices — the [B,S,H,Dh]→[B,H,S,Dh]
+    transposes and the pad-to-128 copies of the unpacked path never exist
+    (they were the 15.2% "data formatting" share of the round-3 embed
+    profile, outputs/notes/profile_embed_vit_b16.md).
     """
     if use_pallas is None:
         use_pallas = (
