@@ -206,9 +206,15 @@ _attention_fused.defvjp(_attention_fused_fwd, _attention_fused_bwd)
 
 
 def _head_cols(x, h: int, dh: int, j: int, d: int):
-    """Static lane-slice of head ``h``'s q/k/v (j=0/1/2) columns, f32."""
+    """Static lane-slice of head ``h``'s q/k/v (j=0/1/2) columns.
+
+    Kept at the input dtype: the MXU accumulates f32 regardless
+    (``preferred_element_type``), and bf16 operands run the systolic array
+    at full rate where an up-front f32 cast would halve it — the exact
+    operand/accumulator split ``attention_xla`` uses, so parity holds.
+    """
     c0 = j * d + h * dh
-    return jax.lax.slice_in_dim(x, c0, c0 + dh, axis=1).astype(jnp.float32)
+    return jax.lax.slice_in_dim(x, c0, c0 + dh, axis=1)
 
 
 def _attn_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
@@ -234,7 +240,7 @@ def _attn_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o_ref[0, :, h * dh : (h + 1) * dh] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(x.dtype), v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
 
 
@@ -252,23 +258,25 @@ def _attn_qkv_bwd_kernel(
         q = _head_cols(x, h, dh, 0, d)
         k = _head_cols(x, h, dh, 1, d)
         v = _head_cols(x, h, dh, 2, d)
-        do = do_ref[0, :, h * dh : (h + 1) * dh].astype(jnp.float32)
+        do = do_ref[0, :, h * dh : (h + 1) * dh]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * np.float32(scale)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
+        pc = p.astype(x.dtype)
         dv = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * np.float32(scale)
+        dsc = ds.astype(x.dtype)
+        dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * np.float32(scale)
         dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            dsc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * np.float32(scale)
         dqkv_ref[0, :, h * dh : (h + 1) * dh] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, d + h * dh : d + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
