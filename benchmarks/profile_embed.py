@@ -105,10 +105,16 @@ def main() -> None:
     )
     parser.add_argument("--output-dir", type=Path, default=REPO / "outputs")
     args = parser.parse_args()
-    if args.int8 and args.arch != "resnet18":
-        raise SystemExit("--int8 profiles the ResNet-18 PTQ path only")
-    tag = "embed_int8" if args.int8 else (
-        "embed_bf16" if args.arch == "resnet18" else f"embed_bf16_{args.arch}"
+    if args.int8 and not (
+        args.arch == "resnet18" or args.arch.startswith("vit_")
+    ):
+        raise SystemExit("--int8 profiles the ResNet-18 or ViT PTQ paths")
+    tag = (
+        ("embed_int8" if args.arch == "resnet18"
+         else f"embed_int8_{args.arch}")
+        if args.int8
+        else ("embed_bf16" if args.arch == "resnet18"
+              else f"embed_bf16_{args.arch}")
     )
 
     if args.parse_only:
@@ -163,7 +169,31 @@ def main() -> None:
     host_variables = seeded_init_host(model, 42, (1, 224, 224, 3))
     variables = jax.device_put(host_variables)
 
-    if args.int8:
+    if args.int8 and args.arch.startswith("vit_"):
+        from ssip_tpu.models.quantized_vit import (
+            make_quantized_vit_apply,
+            quantize_vit_extractor,
+        )
+
+        calib = (
+            preprocess_images_pallas(batches[0], out_dtype=jnp.float32)
+            if on_tpu
+            else extraction_preprocess(batches[0], dtype=jnp.float32)
+        )
+        variables = jax.device_put(
+            quantize_vit_extractor(host_variables, calib, arch=args.arch)
+        )
+        qv_pre = make_quantized_vit_apply(arch=args.arch, stem_prequantized=True)
+        qv = make_quantized_vit_apply(arch=args.arch)
+
+        def full_step(tree, u8):
+            if on_tpu:
+                xq = preprocess_images_pallas(
+                    u8, quant_inv_scale=tree["stem"]["inv_in_scale"]
+                )
+                return qv_pre(tree, xq)
+            return qv(tree, extraction_preprocess(u8, dtype=jnp.float32))
+    elif args.int8:
         from ssip_tpu.models.quantized import (
             make_quantized_apply,
             quantize_extractor,
@@ -285,7 +315,8 @@ def summarize(args, profile_dir: Path, imgs: int, wall: float) -> None:
     lines.append("")
     arch = getattr(args, "arch", "resnet18")
     out_md = args.output_dir / "notes" / (
-        "profile_embed_int8.md"
+        ("profile_embed_int8.md" if arch == "resnet18"
+         else f"profile_embed_int8_{arch}.md")
         if getattr(args, "int8", False)
         else ("profile_embed.md" if arch == "resnet18"
               else f"profile_embed_{arch}.md")

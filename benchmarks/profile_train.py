@@ -149,6 +149,16 @@ def summarize(args, profile_dir: Path, imgs: int, wall: float) -> None:
     ]
     for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         lines.append(f"| {cat} | {dur / 1e3:.1f} | {dur / total * 100.0:.1f}% |")
+    if not args.no_augment:
+        lines += [
+            "",
+            "`custom-call` / `closed_call.*` here IS the Pallas MXU "
+            "rotation kernel (ops/augment.py:_rotate_mxu) — the only "
+            "custom call in the default train step (pool backward is XLA "
+            "SelectAndScatter unless SSIP_POOL_FUSED_BWD=1). The profiler "
+            "reports custom-call bytes as 0, so its HBM column is "
+            "meaningless for that row.",
+        ]
     lines += ["", "## Top 25 ops by device time", ""]
     lines += ["| Op | ms | share | HBM GB/s |", "|---|---|---|---|"]
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:

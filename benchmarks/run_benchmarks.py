@@ -44,9 +44,9 @@ def main() -> None:
     parser.add_argument("--quick", action="store_true")
     parser.add_argument(
         "--only-vit", action="store_true",
-        help="measure only the ViT embedding rows (bf16 fused-attention, "
-        "int8 PTQ, MoE) and merge them into the existing benchmarks.json — "
-        "used to fill rows added while the accelerator was unreachable "
+        help="measure only the ViT rows (bf16 fused-attention, int8 PTQ, "
+        "MoE + dense-S/16 embed, dense-vs-MoE train steps) and merge them "
+        "into the existing benchmarks.json — refreshes the ViT family "
         "without re-running the whole (hour-scale) harness",
     )
     parser.add_argument(
@@ -367,6 +367,77 @@ def main() -> None:
         except Exception as exc:
             log(f"bf16_vit_moe_s16 FAILED ({exc}); skipping")
 
+        # Dense ViT-S/16: the isolating comparator the MoE tower promises
+        # (models/moe.py — identical non-expert shapes), so the MoE row
+        # above can be read as "what the 8-expert layer costs per image".
+        try:
+            s16 = MODEL_FACTORIES["vit_s16"](
+                num_classes=None, compute_dtype=jnp.bfloat16
+            )
+            s16_host = seeded_init_host(s16, 42, (1, 224, 224, 3))
+            embed_variant(
+                "bf16_vit_s16",
+                lambda v, x: s16.apply(v, x, train=False),
+                jax.device_put(s16_host),
+                jnp.bfloat16,
+                max(LO + 1, HI // 2),
+            )
+        except Exception as exc:
+            log(f"bf16_vit_s16 FAILED ({exc}); skipping")
+
+        # ViT train rows, dense vs MoE: the fused-epoch engine is
+        # model-agnostic, and the MoE router's load-balance/z losses ride
+        # the "aux" sow collection into the objective — this measures the
+        # full MoE training objective, not just the forward.
+        from ssip_tpu.train.engine import (
+            TrainState as _TS,
+            make_fused_epoch as _make_fused,
+            make_optimizer as _make_opt,
+        )
+
+        vit_fused = _make_fused(augment=True)
+        vtb = 128 if on_tpu else 16
+        for arch in ("vit_s16", "vit_moe_s16"):
+            try:
+                vm = MODEL_FACTORIES[arch](
+                    num_classes=2, compute_dtype=jnp.bfloat16
+                )
+                vm_host = seeded_init_host(vm, 0, (1, 224, 224, 3))
+                vstate = _TS.create(
+                    apply_fn=vm.apply, params=vm_host["params"],
+                    batch_stats=vm_host.get("batch_stats", {}),
+                    tx=_make_opt(1e-4, 1e-4),
+                )
+                vsteps = 8
+                vimgs = jnp.asarray(rng.integers(
+                    0, 256, (vsteps, vtb, 224, 224, 3), dtype=np.uint8
+                ))
+                vlabels = jnp.asarray(
+                    rng.integers(0, 2, (vsteps, vtb)).astype(np.int32)
+                )
+                vvalid = jnp.ones((vsteps, vtb), bool)
+                vkeys = jax.random.split(jax.random.key(0), vsteps)
+
+                def vit_train_loop(reps, _s=vstate, _i=vimgs, _l=vlabels,
+                                   _v=vvalid, _k=vkeys):
+                    s = _s
+                    out = jnp.float32(0.0)
+                    for _ in range(int(reps)):
+                        s, losses, _ = vit_fused(s, _i, _l, _v, _k)
+                        out = losses[-1]
+                    jax.block_until_ready(out)
+                    return out
+
+                record(
+                    f"train_steps_per_sec_{arch}_bf16_batch{vtb}",
+                    measure_rate(
+                        vit_train_loop, 1, 4 if on_tpu else 2,
+                        items_per_rep=vsteps, max_trials=6,
+                    ),
+                )
+            except Exception as exc:
+                log(f"train {arch} FAILED ({exc}); skipping")
+
     if args.only_vit:
         # Merge the fresh ViT rows into the previous full run's table and
         # re-render. Every carried row is LISTED in ``carried_stale`` so
@@ -404,8 +475,8 @@ def main() -> None:
         render_md(results, notes, on_tpu)
         print(json.dumps({
             k: results[k] for k in sorted(results)
-            if k.startswith("embedding_") and "vit" in k
-            and not k.endswith("_spread")
+            if (k.startswith("embedding_") or k.startswith("train_steps_"))
+            and "vit" in k and not k.endswith("_spread")
         }))
         return
 
@@ -615,6 +686,8 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
          "Embedding ViT-B/16 (bf16, XLA-attention fallback)"),
         ("embedding_int8_ptq_vit_b16_imgs_per_sec",
          "Embedding ViT-B/16 (int8 PTQ)"),
+        ("embedding_bf16_vit_s16_imgs_per_sec",
+         "Embedding ViT-S/16 (bf16, dense — MoE comparator)"),
         ("embedding_bf16_vit_moe_s16_imgs_per_sec",
          "Embedding MoE ViT-S/16 (bf16, 8 experts, Switch top-1)"),
     ):
@@ -667,6 +740,18 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
                     f"steps/s = {imgs_s:.0f} imgs/s"
                     + (f" ≈ {pct:.0f}{unit}" if on_tpu else "")
                     + " | ref GPU: baseline 2.49 s total |"
+                )
+    for arch, label in (
+        ("vit_s16", "Train ViT-S/16 (bf16, dense — MoE comparator)"),
+        ("vit_moe_s16", "Train MoE ViT-S/16 (bf16, 8 experts, incl. aux losses)"),
+    ):
+        for tb in (16, 128):
+            key = f"train_steps_per_sec_{arch}_bf16_batch{tb}"
+            if key in results:
+                imgs_s = float(results[key]) * tb
+                lines.append(
+                    f"| {label}, batch {tb} | {fmt(key)} steps/s = "
+                    f"{imgs_s:.0f} imgs/s | — |"
                 )
     ms_key = "multiseed8_lane_steps_per_sec_bf16_batch16"
     if ms_key in results:
