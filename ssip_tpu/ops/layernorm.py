@@ -86,8 +86,14 @@ def _ln_bwd_kernel(
     mg = jnp.mean(g, axis=-1, keepdims=True)
     mgx = jnp.mean(g * xhat, axis=-1, keepdims=True)
     dx_ref[:] = (r * (g - mg - xhat * mgx)).astype(dx_ref.dtype)
-    ds_ref[0] = jnp.sum(dy * xhat, axis=0)
-    db_ref[0] = jnp.sum(dy, axis=0)
+    # The partials buffer is one full [blocks, D] VMEM block shared by every
+    # grid step (constant index map): a per-step (1, D) block would need an
+    # 8-divisible-or-full first dim, which an arbitrary block count is not
+    # (Mosaic rejected (1, 384) over (99, 384) — first hit by the ViT-S/16
+    # train step, whose 128·197-row stream yields 99 blocks). Each step
+    # writes exactly its own row; TPU grid steps run sequentially.
+    ds_ref[pl.ds(i, 1)] = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db_ref[pl.ds(i, 1)] = jnp.sum(dy, axis=0, keepdims=True)
 
 
 @partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -121,7 +127,9 @@ def _ln_pallas_bwd(x2d, scale, dy, eps: float, interpret: bool):
         (_ROW_BLOCK, d), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vec_spec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    part_spec = pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec(
+        (blocks, d), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
     dx, ds_part, db_part = pl.pallas_call(
         partial(_ln_bwd_kernel, eps=eps, n_rows=n),
         out_shape=(
