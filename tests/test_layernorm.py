@@ -77,6 +77,34 @@ class TestLayerNormPallas:
                 err_msg=f"grad {name}",
             )
 
+    def test_gradients_at_non_divisible_block_count(self):
+        """Regression: a (1, D) partials block over a [blocks, D] array is
+        illegal in Mosaic whenever ``blocks`` is not a multiple of 8 (first
+        hit by the ViT-S/16 train step: 128·197 rows → 99 blocks). The
+        partials are now one full-array block with per-step row writes;
+        this exercises that shape class (round-4 fix, validated on TPU at
+        the exact 25216×384 failing shape)."""
+        rng = np.random.default_rng(7)
+        rows = 9 * _ROW_BLOCK + 5  # 10 blocks... any non-multiple-of-8 count
+        x = jnp.asarray(rng.normal(size=(rows, 128)).astype(np.float32))
+        s = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        g_ref = jax.grad(
+            lambda x, s, b: jnp.sum(jnp.sin(layer_norm_xla(x, s, b, 1e-6))),
+            argnums=(0, 1, 2),
+        )(x, s, b)
+        g_got = jax.grad(
+            lambda x, s, b: jnp.sum(
+                jnp.sin(layer_norm(x, s, b, eps=1e-6, interpret=True))
+            ),
+            argnums=(0, 1, 2),
+        )(x, s, b)
+        for name, a, c in zip("x/scale/bias".split("/"), g_ref, g_got):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad {name}",
+            )
+
     def test_3d_input_round_trips_shape(self):
         rng = np.random.default_rng(3)
         x = jnp.asarray(rng.normal(size=(2, 197, 384)).astype(np.float32))
