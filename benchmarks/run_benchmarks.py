@@ -50,6 +50,11 @@ def main() -> None:
         "without re-running the whole (hour-scale) harness",
     )
     parser.add_argument(
+        "--only-vit-train", action="store_true",
+        help="measure only the dense-vs-MoE ViT train rows and merge them "
+        "into the existing benchmarks.json (subset of --only-vit)",
+    )
+    parser.add_argument(
         "--skip-e2e", action="store_true",
         help="skip the (slow, weather-bound) cold e2e extraction section; "
         "on-chip + train + decode numbers still run",
@@ -64,12 +69,12 @@ def main() -> None:
         "when jax is pre-imported at interpreter startup)",
     )
     args = parser.parse_args()
-    if args.quick and args.only_vit:
+    if args.quick and (args.only_vit or args.only_vit_train):
         # --quick shrinks the measurement windows to smoke size; merging
         # those into the published benchmarks.{json,md} would present
         # non-publishable numbers as measurements (advisor round-3 finding)
-        parser.error("--quick and --only-vit are mutually exclusive: "
-                     "--only-vit writes into the published table")
+        parser.error("--quick and --only-vit(-train) are mutually "
+                     "exclusive: they write into the published table")
 
     from ssip_tpu.runtime.device import force_cpu_platform_if_requested
 
@@ -130,7 +135,7 @@ def main() -> None:
             return c
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
-    if not args.only_vit:
+    if not (args.only_vit or args.only_vit_train):
         record(
             "preprocess_imgs_per_sec",
             measure_rate(
@@ -175,7 +180,7 @@ def main() -> None:
 
     # Headline: the shipped plain bf16 forward (measured faster than the
     # manual folded-BN/s2d variant — XLA already fuses inference BN).
-    if not args.only_vit:
+    if not (args.only_vit or args.only_vit_train):
         bf16_model = ResNet18(num_classes=None, compute_dtype=jnp.bfloat16)
         embed_variant(
             "bf16",
@@ -184,7 +189,7 @@ def main() -> None:
             jnp.bfloat16,
             HI,
         )
-    if not args.quick and not args.only_vit:
+    if not args.quick and not (args.only_vit or args.only_vit_train):
         folded = jax.device_put(fold_resnet_extractor(host_variables))
         embed_variant(
             "bf16_folded_s2d",
@@ -205,14 +210,14 @@ def main() -> None:
     # computed once (advisor round-3: it was built twice, recompiling and
     # re-running the preprocessing of batches[0])
     calib = None
-    if not args.quick:
+    if not args.quick and not args.only_vit_train:
         calib = (
             preprocess_images_pallas(batches[0], out_dtype=jnp.float32)
             if on_tpu
             else extraction_preprocess(batches[0], dtype=jnp.float32)
         )
 
-    if not args.quick and not args.only_vit:
+    if not args.quick and not (args.only_vit or args.only_vit_train):
         # int8 post-training quantization (models/quantized.py): the MXU's
         # s8×s8→s32 mode — max-throughput approximate mode.
         from ssip_tpu.models.quantized import (
@@ -285,110 +290,118 @@ def main() -> None:
         # per image, but nearly all of them land on the MXU as large GEMMs.
         from ssip_tpu.models import MODEL_FACTORIES
 
-        vit = MODEL_FACTORIES["vit_b16"](
-            num_classes=None, compute_dtype=jnp.bfloat16
-        )
-        vit_host = seeded_init_host(vit, 42, (1, 224, 224, 3))
-        try:
-            embed_variant(
-                "bf16_vit_b16",
-                lambda v, x: vit.apply(v, x, train=False),
-                jax.device_put(vit_host),
-                jnp.bfloat16,
-                max(LO + 1, HI // 2),
+        # embed rows (skipped by --only-vit-train)
+        if not args.only_vit_train:
+            vit = MODEL_FACTORIES["vit_b16"](
+                num_classes=None, compute_dtype=jnp.bfloat16
             )
-        except Exception as exc:  # first Mosaic run of ops/attention.py —
-            # don't let a kernel-lowering failure sink the whole harness;
-            # SSIP_ATTN_PALLAS=0 is the XLA-path escape hatch
-            log(f"bf16_vit_b16 FAILED ({exc}); retrying with SSIP_ATTN_PALLAS=0")
-            import os as _os
-
-            _os.environ["SSIP_ATTN_PALLAS"] = "0"
+            vit_host = seeded_init_host(vit, 42, (1, 224, 224, 3))
             try:
                 embed_variant(
-                    "bf16_vit_b16_xla_attn",
+                    "bf16_vit_b16",
                     lambda v, x: vit.apply(v, x, train=False),
                     jax.device_put(vit_host),
                     jnp.bfloat16,
                     max(LO + 1, HI // 2),
                 )
-            finally:
-                _os.environ.pop("SSIP_ATTN_PALLAS", None)
+            except Exception as exc:  # first Mosaic run of ops/attention.py —
+                # don't let a kernel-lowering failure sink the whole harness;
+                # SSIP_ATTN_PALLAS=0 is the XLA-path escape hatch
+                log(f"bf16_vit_b16 FAILED ({exc}); retrying with SSIP_ATTN_PALLAS=0")
+                import os as _os
 
-        # ViT-B/16 int8 PTQ (models/quantized_vit.py): every dense site on
-        # the MXU's s8×s8→s32 mode; LN/GELU/attention full precision.
-        try:
-            from ssip_tpu.models.quantized_vit import (
-                make_quantized_vit_apply,
-                quantize_vit_extractor,
-            )
-
-            qvit = jax.device_put(
-                quantize_vit_extractor(vit_host, calib, arch="vit_b16")
-            )
-            qv_apply = make_quantized_vit_apply(arch="vit_b16")
-            qv_apply_pre = make_quantized_vit_apply(
-                arch="vit_b16", stem_prequantized=True
-            )
-
-            def int8_step_vit(tree, u8):
-                if on_tpu:
-                    xq = preprocess_images_pallas(
-                        u8, quant_inv_scale=tree["stem"]["inv_in_scale"]
+                _os.environ["SSIP_ATTN_PALLAS"] = "0"
+                try:
+                    embed_variant(
+                        "bf16_vit_b16_xla_attn",
+                        lambda v, x: vit.apply(v, x, train=False),
+                        jax.device_put(vit_host),
+                        jnp.bfloat16,
+                        max(LO + 1, HI // 2),
                     )
-                    return qv_apply_pre(tree, xq)
-                return qv_apply(
-                    tree, extraction_preprocess(u8, dtype=jnp.float32)
+                finally:
+                    _os.environ.pop("SSIP_ATTN_PALLAS", None)
+
+            # ViT-B/16 int8 PTQ (models/quantized_vit.py): every dense site on
+            # the MXU's s8×s8→s32 mode; LN/GELU/attention full precision.
+            try:
+                from ssip_tpu.models.quantized_vit import (
+                    make_quantized_vit_apply,
+                    quantize_vit_extractor,
                 )
 
-            embed_variant(
-                "int8_ptq_vit_b16", int8_step_vit, qvit, jnp.float32,
-                max(LO + 1, HI // 2), raw=True,
-            )
-        except Exception as exc:
-            log(f"int8_ptq_vit_b16 FAILED ({exc}); skipping")
+                qvit = jax.device_put(
+                    quantize_vit_extractor(vit_host, calib, arch="vit_b16")
+                )
+                qv_apply = make_quantized_vit_apply(arch="vit_b16")
+                qv_apply_pre = make_quantized_vit_apply(
+                    arch="vit_b16", stem_prequantized=True
+                )
 
-        # MoE ViT-S/16 bf16 (models/moe.py): Switch-style top-1 routing
-        # with static-capacity one-hot dispatch — measures the single-chip
-        # cost of the dispatch einsums + expert GEMMs (expert parallelism
-        # itself needs a multi-chip mesh; see tests/test_moe.py).
-        try:
-            moe = MODEL_FACTORIES["vit_moe_s16"](
-                num_classes=None, compute_dtype=jnp.bfloat16
-            )
-            moe_host = seeded_init_host(moe, 42, (1, 224, 224, 3))
-            embed_variant(
-                "bf16_vit_moe_s16",
-                lambda v, x: moe.apply(v, x, train=False),
-                jax.device_put(moe_host),
-                jnp.bfloat16,
-                max(LO + 1, HI // 2),
-            )
-        except Exception as exc:
-            log(f"bf16_vit_moe_s16 FAILED ({exc}); skipping")
+                def int8_step_vit(tree, u8):
+                    if on_tpu:
+                        xq = preprocess_images_pallas(
+                            u8, quant_inv_scale=tree["stem"]["inv_in_scale"]
+                        )
+                        return qv_apply_pre(tree, xq)
+                    return qv_apply(
+                        tree, extraction_preprocess(u8, dtype=jnp.float32)
+                    )
 
-        # Dense ViT-S/16: the isolating comparator the MoE tower promises
-        # (models/moe.py — identical non-expert shapes), so the MoE row
-        # above can be read as "what the 8-expert layer costs per image".
-        try:
-            s16 = MODEL_FACTORIES["vit_s16"](
-                num_classes=None, compute_dtype=jnp.bfloat16
-            )
-            s16_host = seeded_init_host(s16, 42, (1, 224, 224, 3))
-            embed_variant(
-                "bf16_vit_s16",
-                lambda v, x: s16.apply(v, x, train=False),
-                jax.device_put(s16_host),
-                jnp.bfloat16,
-                max(LO + 1, HI // 2),
-            )
-        except Exception as exc:
-            log(f"bf16_vit_s16 FAILED ({exc}); skipping")
+                embed_variant(
+                    "int8_ptq_vit_b16", int8_step_vit, qvit, jnp.float32,
+                    max(LO + 1, HI // 2), raw=True,
+                )
+            except Exception as exc:
+                log(f"int8_ptq_vit_b16 FAILED ({exc}); skipping")
+
+            # MoE ViT-S/16 bf16 (models/moe.py): Switch-style top-1 routing
+            # with static-capacity one-hot dispatch — measures the single-chip
+            # cost of the dispatch einsums + expert GEMMs (expert parallelism
+            # itself needs a multi-chip mesh; see tests/test_moe.py).
+            try:
+                moe = MODEL_FACTORIES["vit_moe_s16"](
+                    num_classes=None, compute_dtype=jnp.bfloat16
+                )
+                moe_host = seeded_init_host(moe, 42, (1, 224, 224, 3))
+                embed_variant(
+                    "bf16_vit_moe_s16",
+                    lambda v, x: moe.apply(v, x, train=False),
+                    jax.device_put(moe_host),
+                    jnp.bfloat16,
+                    max(LO + 1, HI // 2),
+                )
+            except Exception as exc:
+                log(f"bf16_vit_moe_s16 FAILED ({exc}); skipping")
+
+            # Dense ViT-S/16: the isolating comparator the MoE tower promises
+            # (models/moe.py — identical non-expert shapes), so the MoE row
+            # above can be read as "what the 8-expert layer costs per image".
+            try:
+                s16 = MODEL_FACTORIES["vit_s16"](
+                    num_classes=None, compute_dtype=jnp.bfloat16
+                )
+                s16_host = seeded_init_host(s16, 42, (1, 224, 224, 3))
+                embed_variant(
+                    "bf16_vit_s16",
+                    lambda v, x: s16.apply(v, x, train=False),
+                    jax.device_put(s16_host),
+                    jnp.bfloat16,
+                    max(LO + 1, HI // 2),
+                )
+            except Exception as exc:
+                log(f"bf16_vit_s16 FAILED ({exc}); skipping")
 
         # ViT train rows, dense vs MoE: the fused-epoch engine is
         # model-agnostic, and the MoE router's load-balance/z losses ride
         # the "aux" sow collection into the objective — this measures the
-        # full MoE training objective, not just the forward.
+        # full MoE training objective, not just the forward. The rep loop
+        # lives INSIDE one jitted program (fori_loop over the epoch scan,
+        # embed-probe style): at ~50 ms/step the harness's python-loop
+        # differencing drowns in this tunnel's 25-150 ms dispatch jitter
+        # (first attempt measured a 374% spread).
+        from functools import partial as _partial
+
         from ssip_tpu.train.engine import (
             TrainState as _TS,
             make_fused_epoch as _make_fused,
@@ -418,27 +431,31 @@ def main() -> None:
                 vvalid = jnp.ones((vsteps, vtb), bool)
                 vkeys = jax.random.split(jax.random.key(0), vsteps)
 
+                @_partial(jax.jit, static_argnames="reps")
+                def vit_train_prog(s, imgs, labels, valid, keys, reps):
+                    def body(_, carry):
+                        s2, losses, _p = vit_fused(
+                            carry, imgs, labels, valid, keys
+                        )
+                        return s2
+                    out = jax.lax.fori_loop(0, reps, body, s)
+                    return out.step.astype(jnp.float32)
+
                 def vit_train_loop(reps, _s=vstate, _i=vimgs, _l=vlabels,
                                    _v=vvalid, _k=vkeys):
-                    s = _s
-                    out = jnp.float32(0.0)
-                    for _ in range(int(reps)):
-                        s, losses, _ = vit_fused(s, _i, _l, _v, _k)
-                        out = losses[-1]
-                    jax.block_until_ready(out)
-                    return out
+                    return vit_train_prog(_s, _i, _l, _v, _k, reps=int(reps))
 
                 record(
                     f"train_steps_per_sec_{arch}_bf16_batch{vtb}",
                     measure_rate(
                         vit_train_loop, 1, 4 if on_tpu else 2,
-                        items_per_rep=vsteps, max_trials=6,
+                        items_per_rep=vsteps, max_trials=8,
                     ),
                 )
             except Exception as exc:
                 log(f"train {arch} FAILED ({exc}); skipping")
 
-    if args.only_vit:
+    if args.only_vit or args.only_vit_train:
         # Merge the fresh ViT rows into the previous full run's table and
         # re-render. Every carried row is LISTED in ``carried_stale`` so
         # render_md can annotate it (advisor round-3: carried rows rendered
