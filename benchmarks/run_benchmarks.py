@@ -439,7 +439,14 @@ def main() -> None:
                         )
                         return s2
                     out = jax.lax.fori_loop(0, reps, body, s)
-                    return out.step.astype(jnp.float32)
+                    # the result must depend on the trained PARAMS, not
+                    # just the step counter — returning out.step alone
+                    # lets XLA dead-code-eliminate the entire training
+                    # computation (measured: 240k "steps/s")
+                    return jax.tree_util.tree_reduce(
+                        lambda a, leaf: a + jnp.sum(leaf.astype(jnp.float32)),
+                        out.params, jnp.float32(0.0),
+                    )
 
                 def vit_train_loop(reps, _s=vstate, _i=vimgs, _l=vlabels,
                                    _v=vvalid, _k=vkeys):
@@ -447,8 +454,11 @@ def main() -> None:
 
                 record(
                     f"train_steps_per_sec_{arch}_bf16_batch{vtb}",
+                    # ~50-100 ms/step: a 6-rep differenced window (~2-5 s)
+                    # keeps the tunnel's 25-150 ms dispatch jitter under
+                    # a few percent of the measurement
                     measure_rate(
-                        vit_train_loop, 1, 4 if on_tpu else 2,
+                        vit_train_loop, 2, 8 if on_tpu else 3,
                         items_per_rep=vsteps, max_trials=8,
                     ),
                 )
