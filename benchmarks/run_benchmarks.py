@@ -489,7 +489,13 @@ def main() -> None:
                 if k in results or k in superseded or k == "carried_stale":
                     continue
                 results[k] = v
-                if not k.endswith("_spread") and isinstance(v, (int, float)):
+                # bools (e.g. a carried e2e_stale flag) are ints in Python —
+                # exclude them so flags are never listed as stale metrics
+                if (
+                    not k.endswith("_spread")
+                    and isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                ):
                     carried.append(k)
         results["carried_stale"] = sorted(carried)
         results["e2e_stale"] = any(k.startswith("e2e_") for k in carried)
@@ -666,8 +672,14 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
         base = f"{v:.1f}" if v < 100 else f"{v:.0f}"
         spread = f" (±{float(s) * 50:.0f}%)" if s is not None else ""
         # rows merged forward by --only-vit are measurements from a
-        # PREVIOUS run — never render them as fresh
-        stale = " (stale: carried)" if key in carried else ""
+        # PREVIOUS run — never render them as fresh. e2e_* rows get the
+        # fuller e2e_stale suffix from e2e_row instead (advisor round-4:
+        # don't double-annotate).
+        stale = (
+            " (stale: carried)"
+            if key in carried and not key.startswith("e2e_")
+            else ""
+        )
         return base + spread + stale
 
     emb = float(results.get("embedding_bf16_imgs_per_sec", 0.0))
@@ -724,9 +736,12 @@ def render_md(results: dict, notes: Path, on_tpu: bool) -> None:
         # --skip-e2e carries the previous run's e2e section forward; mark
         # those rows so the table never pairs fresh on-chip numbers with
         # old tunnel weather without saying so.
-        stale_s = " (stale: carried from a previous run)" if results.get(
-            "e2e_stale"
-        ) else ""
+        e2e_carried = results.get("e2e_stale") or any(
+            k.startswith("e2e_") for k in carried
+        )
+        stale_s = (
+            " (stale: carried from a previous run)" if e2e_carried else ""
+        )
 
         def e2e_row(label: str, key: str, target: str = "—") -> str:
             link = results.get(f"e2e_{key}_link_mb_per_sec")

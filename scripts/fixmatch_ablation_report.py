@@ -79,14 +79,36 @@ def main() -> None:
             f"| {b['arg_acc']:.3f} / {b['arg_f1']:.3f} "
             f"| {a['thr_f1']:.3f} | {b['thr_f1']:.3f} |"
         )
+    import statistics
+
+    def paired(key):
+        """Per-seed FixMatch−plain deltas: (mean, sample std, #pos, #neg)."""
+        d = [
+            rows[(s, "fixmatch")][key] - rows[(s, "plain")][key] for s in pairs
+        ]
+        sd = statistics.stdev(d) if len(d) > 1 else 0.0
+        return (
+            statistics.mean(d), sd,
+            sum(1 for x in d if x > 1e-9), sum(1 for x in d if x < -1e-9),
+        )
+
+    am, asd, apos, aneg = paired("arg_f1")
+    tm, tsd, tpos, tneg = paired("thr_f1")
+    n = len(pairs)
     lines += [
         "",
-        f"Mean argmax F1: plain {mean('plain', 'arg_f1'):.3f} vs FixMatch "
-        f"{mean('fixmatch', 'arg_f1'):.3f} "
-        f"(delta {mean('fixmatch', 'arg_f1') - mean('plain', 'arg_f1'):+.3f}); "
-        f"mean thresholded F1: plain {mean('plain', 'thr_f1'):.3f} vs "
-        f"FixMatch {mean('fixmatch', 'thr_f1'):.3f} "
-        f"(delta {mean('fixmatch', 'thr_f1') - mean('plain', 'thr_f1'):+.3f}).",
+        "Paired per-seed deltas (FixMatch − plain), the statistic that",
+        "matters on a 20-image split:",
+        "",
+        f"- argmax F1: **{am:+.3f} ± {asd:.3f}** (mean ± sample std, "
+        f"n={n}; FixMatch better on {apos}, worse on {aneg})",
+        f"- thresholded F1: **{tm:+.3f} ± {tsd:.3f}** "
+        f"(n={n}; FixMatch better on {tpos}, worse on {tneg})",
+        "",
+        f"Means: argmax F1 plain {mean('plain', 'arg_f1'):.3f} vs FixMatch "
+        f"{mean('fixmatch', 'arg_f1'):.3f}; "
+        f"thresholded F1 plain {mean('plain', 'thr_f1'):.3f} vs "
+        f"FixMatch {mean('fixmatch', 'thr_f1'):.3f}.",
         "",
         "Caveats: 20-image test split (one flip = 0.05 acc), seeded-init",
         "backbone (no pretrained weights in this environment) — spreads",

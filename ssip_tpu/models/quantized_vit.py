@@ -96,8 +96,11 @@ def _vit_flow(tree: Dict[str, Any], x: jax.Array, cfg: Dict[str, int],
         y = site_fn(y, blk, "mlp_2")
         x = (x.astype(jnp.float32) + y).astype(inter_dtype)
 
-    # rowwise LN: normalize only the class token (== normalize-then-slice)
-    return _ln(x[:, 0], tree["ln"]).astype(jnp.float32)
+    # rowwise LN: normalize only the class token (== normalize-then-slice).
+    # Upcast BEFORE the LN: _ln returns the stream dtype, so an int8/bf16
+    # path would otherwise bf16-round the published features — the [B, D]
+    # f32 LN costs nothing and matches models/vit.py's final-LN discipline.
+    return _ln(x[:, 0].astype(jnp.float32), tree["ln"])
 
 
 def _f32_tree(variables: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
