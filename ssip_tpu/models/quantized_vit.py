@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ssip_tpu.models.vit import LN_EPS, VIT_CONFIGS
+from ssip_tpu.models.vit import LN_EPS, VIT_CONFIGS, round_up as _round_up
 from ssip_tpu.ops.attention import fused_attention_qkv
 from ssip_tpu.ops.layernorm import layer_norm
 
@@ -63,14 +63,24 @@ def _qdense(x_q: jax.Array, site: Dict[str, Any]) -> jax.Array:
 
 
 def _vit_flow(tree: Dict[str, Any], x: jax.Array, cfg: Dict[str, int],
-              *, site_fn, stem_fn, inter_dtype) -> jax.Array:
+              *, site_fn, stem_fn, inter_dtype, mlp_fn=None,
+              pad_stream: bool = True) -> jax.Array:
     """Shared control flow of the calibration and quantized forwards.
 
     ``stem_fn(x, stem_site)`` and ``site_fn(t, block_sites, name)`` abstract
     "run this dense site" — the f32 calibration pass records each input's
     max inside them, the int8 pass quantizes and runs s8 matmuls. Keeping
     ONE flow guarantees every calibrated scale corresponds to exactly the
-    tensor the int8 path quantizes.
+    tensor the int8 path quantizes. ``mlp_fn(y, blk)`` overrides the MLP
+    sublayer (the fused Pallas int8 MLP, ops/qmlp.py); the default is the
+    unfused mlp_1 → GELU → mlp_2 site composition.
+
+    ``pad_stream``: run the encoder in the flat padded [B·S_pad, D] layout
+    (models/vit.py's round-5 discipline — rank-2 GEMMs leave XLA no
+    relayout choices; attention masks the pad keys via ``kv_len``).
+    Calibration runs with ``pad_stream=False`` so per-tensor maxima come
+    from real rows only; the pad rows the int8 pass then sees may clip,
+    which is harmless — they are garbage the final slice discards.
     """
     d, heads = cfg["hidden_dim"], cfg["num_heads"]
     b = x.shape[0]
@@ -80,22 +90,32 @@ def _vit_flow(tree: Dict[str, Any], x: jax.Array, cfg: Dict[str, int],
     x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
     x = x + jnp.asarray(tree["pos_embedding"]).astype(x.dtype)
     s = x.shape[1]
+    s_pad = _round_up(s, 16) if pad_stream else s
+    if s_pad != s:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    x = x.reshape(b * s_pad, d)
 
     for blk in tree["blocks"]:
         y = _ln(x, blk["ln_1"])
-        qkv = site_fn(y, blk, "qkv")  # [B, S, 3D] f32
+        qkv = site_fn(y, blk, "qkv")  # [M, 3D] f32
         # packed qkv feeds the attention kernel directly (column order
-        # [3, H, Dh] — the same layout contract as models/vit.py)
-        o = fused_attention_qkv(qkv.astype(inter_dtype), heads)
-        o = site_fn(o, blk, "out")
+        # [3, H, Dh] — the same layout contract as models/vit.py); the
+        # [M, 3D] → [B, S_pad, 3D] reshape is a free bitcast (S_pad % 16)
+        qkv3 = qkv.astype(inter_dtype).reshape(b, s_pad, 3 * d)
+        o = fused_attention_qkv(qkv3, heads, kv_len=s if s_pad != s else 0)
+        o = site_fn(o.reshape(b * s_pad, d), blk, "out")
         x = (x.astype(jnp.float32) + o).astype(inter_dtype)
 
         y = _ln(x, blk["ln_2"])
-        y = site_fn(y, blk, "mlp_1")
-        y = jax.nn.gelu(y, approximate=False)
-        y = site_fn(y, blk, "mlp_2")
+        if mlp_fn is None:
+            y = site_fn(y, blk, "mlp_1")
+            y = jax.nn.gelu(y, approximate=False)
+            y = site_fn(y, blk, "mlp_2")
+        else:
+            y = mlp_fn(y, blk)
         x = (x.astype(jnp.float32) + y).astype(inter_dtype)
 
+    x = x.reshape(b, s_pad, d)
     # rowwise LN: normalize only the class token (== normalize-then-slice).
     # Upcast BEFORE the LN: _ln returns the stream dtype, so an int8/bf16
     # path would otherwise bf16-round the published features — the [B, D]
@@ -176,6 +196,7 @@ def quantize_vit_extractor(
     _vit_flow(
         f32, calibration_batch.astype(jnp.float32), cfg,
         site_fn=site_cal, stem_fn=stem_cal, inter_dtype=jnp.float32,
+        pad_stream=False,
     )
 
     # --- quantize weights with the calibrated input scales --------------
@@ -238,10 +259,16 @@ def make_quantized_vit_apply(
         site = blk[name]
         return _qdense(_quant(t, site["inv_in_scale"]), site)
 
+    from ssip_tpu.ops.qmlp import quantized_mlp
+
     def apply(qtree: Dict[str, Any], x: jax.Array) -> jax.Array:
         return _vit_flow(
             qtree, x, cfg,
             site_fn=site_q, stem_fn=stem_q, inter_dtype=inter_dtype,
+            # fused Pallas MLP on TPU (hidden never touches HBM); on
+            # CPU/GPU quantized_mlp falls back to exactly the site_q
+            # composition above
+            mlp_fn=quantized_mlp,
         )
 
     return apply

@@ -63,24 +63,62 @@ class FusedLayerNorm(nn.Module):
         return y if self.out_dtype is None else y.astype(self.out_dtype)
 
 
+def round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+# Pad the token axis to this multiple in the flat-stream layout: 16 is the
+# bf16 sublane tile (8 sublanes × 2-packed), so [B, S_pad, D] and
+# [B·S_pad, D] share one physical layout and every reshape between them is
+# a free bitcast. (f32 needs 8, int8 row-blocks are image-agnostic — 16
+# covers every dtype the stream uses.)
+_SEQ_PAD_MULTIPLE = 16
+
+
 class EncoderBlock(nn.Module):
-    """Pre-norm transformer encoder block (torchvision EncoderBlock)."""
+    """Pre-norm transformer encoder block (torchvision EncoderBlock).
+
+    Two input layouts, one parameter structure:
+
+    - [B, S, D]: the classic form (used by the MoE interleave and the
+      pipeline-parallel stages).
+    - [B·S_pad, D] flat, with ``seq``/``seq_pad`` set: the whole sublayer
+      chain runs rank-2, so every GEMM/LN/residual output is an
+      unambiguous row-major [M, D] and XLA's layout assignment has no
+      {2,0,1}-vs-{2,1,0} choice to make. The round-4 trace showed those
+      3-D relayout copies + the LN wrapper's unfree [B,197,D]↔[25216,D]
+      reshapes costing 13.6% of ViT-B/16 embed device time
+      (outputs/notes/profile_embed_vit_b16.md, "data formatting"). Only
+      the attention kernel sees a (free) 3-D view; its ``kv_len`` mask
+      zeroes the pad keys so real rows match the unpadded math to
+      fp-reduction-order tolerance.
+    """
 
     num_heads: int
     mlp_dim: int
     compute_dtype: Any = jnp.float32
+    seq: int = 0  # logical tokens per image (flat layout only)
+    seq_pad: int = 0  # padded tokens per image (flat layout only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, s, d = x.shape
+        d = x.shape[-1]
         if d % self.num_heads != 0:
             raise ValueError(f"hidden dim {d} not divisible by {self.num_heads} heads")
+        flat = x.ndim == 2
+        if flat and not (self.seq and self.seq_pad):
+            raise ValueError("flat [M, D] input needs seq and seq_pad set")
 
         y = FusedLayerNorm(out_dtype=self.compute_dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * d, dtype=self.compute_dtype, name="qkv")(y)
-        # packed [B, S, 3D] goes straight into the attention kernel — the
-        # per-head q/k/v column slicing happens in its BlockSpec index maps
-        o = fused_attention_qkv(qkv, self.num_heads)
+        # packed qkv goes straight into the attention kernel — the
+        # per-head q/k/v column slicing happens inside it
+        if flat:
+            qkv3 = qkv.reshape(-1, self.seq_pad, 3 * d)  # free bitcast
+            o = fused_attention_qkv(qkv3, self.num_heads, kv_len=self.seq)
+            o = o.reshape(-1, d)  # free bitcast
+        else:
+            o = fused_attention_qkv(qkv, self.num_heads)
         o = nn.Dense(d, dtype=self.compute_dtype, name="out")(o)
         x = x + o.astype(x.dtype)
 
@@ -151,12 +189,25 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos.astype(x.dtype)
 
+        # Flat padded stream: pad the token axis once (pad rows start as
+        # exact zeros and stay finite — LN maps them to its bias, attention
+        # masks them as keys), then run the whole encoder rank-2. Real
+        # rows' math matches the 3-D layout to fp-reduction tolerance; the
+        # payoff is zero relayout copies between GEMMs and Pallas calls.
+        seq = x.shape[1]
+        seq_pad = round_up(seq, _SEQ_PAD_MULTIPLE)
+        if seq_pad != seq:
+            x = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
+        x = x.reshape(b * seq_pad, self.hidden_dim)
+
         block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         for i in range(self.num_layers):
             x = block_cls(
                 num_heads=self.num_heads, mlp_dim=self.mlp_dim,
-                compute_dtype=self.compute_dtype, name=f"block{i}",
+                compute_dtype=self.compute_dtype, seq=seq, seq_pad=seq_pad,
+                name=f"block{i}",
             )(x)
+        x = x.reshape(b, seq_pad, self.hidden_dim)
 
         # LayerNorm is per-row, so normalizing only the class token equals
         # torchvision's normalize-then-slice — 1/(tokens) the work, and the

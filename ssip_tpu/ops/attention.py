@@ -217,16 +217,22 @@ def _head_cols(x, h: int, dh: int, j: int, d: int):
     return jax.lax.slice_in_dim(x, c0, c0 + dh, axis=1)
 
 
-def _attn_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
+def _attn_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float, kv_len: int):
     """One batch image: qkv_ref [1, S, 3D] packed ([3, H, Dh] columns).
 
     Heads unroll as a static loop with 64-lane static slices — all VMEM
     ops, no DMA-side head transposes. Mosaic's block rules require the
     trailing block dims to be 8/128-divisible OR the full array dims; the
     full [S, 3D] face satisfies the latter for any S (197 included), so no
-    padding and no key masks are needed — the logical S is exact.
+    padding is needed — the logical S is exact. When the caller's stream
+    IS padded (the flat [B·S_pad, D] encoder layout in models/vit.py),
+    ``kv_len < S`` masks the pad KEYS to -1e30 before the softmax: their
+    probabilities underflow to exactly 0.0, so real rows' outputs match
+    the unpadded kernel to fp-reduction-order tolerance; pad QUERY rows
+    compute finite garbage the caller never reads.
     """
     x = qkv_ref[0]
+    s_dim = x.shape[0]
     d = x.shape[1] // 3
     dh = d // num_heads
     for h in range(num_heads):
@@ -236,6 +242,9 @@ def _attn_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * np.float32(scale)
+        if kv_len < s_dim:
+            key_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(key_idx < kv_len, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -245,13 +254,15 @@ def _attn_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
 
 
 def _attn_qkv_bwd_kernel(
-    qkv_ref, do_ref, dqkv_ref, *, num_heads: int, scale: float
+    qkv_ref, do_ref, dqkv_ref, *, num_heads: int, scale: float, kv_len: int
 ):
     """Backward for one batch image off the packed layout; probabilities
-    recomputed in VMEM (same VJP algebra as ``_attn_bwd_kernel``, minus
-    the padding masks — the logical S is exact). Writes the packed dqkv
+    recomputed in VMEM (same VJP algebra as ``_attn_bwd_kernel``; with
+    ``kv_len < S`` the same key mask as the forward re-applies, so pad
+    keys carry p = 0 and their dk/dv rows vanish). Writes the packed dqkv
     block directly, so the VJP needs no repacking copy."""
     x = qkv_ref[0]
+    s_dim = x.shape[0]
     d = x.shape[1] // 3
     dh = d // num_heads
     for h in range(num_heads):
@@ -262,6 +273,9 @@ def _attn_qkv_bwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * np.float32(scale)
+        if kv_len < s_dim:
+            key_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(key_idx < kv_len, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -285,14 +299,17 @@ def _attn_qkv_bwd_kernel(
         )
 
 
-@partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def _attention_qkv_pallas(qkv, num_heads: int, interpret: bool = False):
+@partial(jax.jit, static_argnames=("num_heads", "kv_len", "interpret"))
+def _attention_qkv_pallas(
+    qkv, num_heads: int, kv_len: int = 0, interpret: bool = False
+):
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
     return pl.pallas_call(
         partial(
-            _attn_qkv_kernel, num_heads=num_heads, scale=1.0 / float(np.sqrt(dh))
+            _attn_qkv_kernel, num_heads=num_heads,
+            scale=1.0 / float(np.sqrt(dh)), kv_len=kv_len or s,
         ),
         out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
         grid=(b,),
@@ -313,8 +330,10 @@ def _attention_qkv_pallas(qkv, num_heads: int, interpret: bool = False):
     )(qkv)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def _attention_qkv_pallas_bwd(qkv, do, num_heads: int, interpret: bool = False):
+@partial(jax.jit, static_argnames=("num_heads", "kv_len", "interpret"))
+def _attention_qkv_pallas_bwd(
+    qkv, do, num_heads: int, kv_len: int = 0, interpret: bool = False
+):
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
@@ -323,6 +342,7 @@ def _attention_qkv_pallas_bwd(qkv, do, num_heads: int, interpret: bool = False):
             _attn_qkv_bwd_kernel,
             num_heads=num_heads,
             scale=1.0 / float(np.sqrt(dh)),
+            kv_len=kv_len or s,
         ),
         out_shape=jax.ShapeDtypeStruct((b, s, three_d), qkv.dtype),
         grid=(b,),
@@ -346,30 +366,47 @@ def _attention_qkv_pallas_bwd(qkv, do, num_heads: int, interpret: bool = False):
     )(qkv, do)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _attention_qkv_fused(qkv, num_heads, interpret=False):
-    return _attention_qkv_pallas(qkv, num_heads, interpret=interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _attention_qkv_fused(qkv, num_heads, kv_len=0, interpret=False):
+    return _attention_qkv_pallas(qkv, num_heads, kv_len=kv_len, interpret=interpret)
 
 
-def _attention_qkv_fused_fwd(qkv, num_heads, interpret):
-    return _attention_qkv_pallas(qkv, num_heads, interpret=interpret), (qkv,)
+def _attention_qkv_fused_fwd(qkv, num_heads, kv_len, interpret):
+    return (
+        _attention_qkv_pallas(qkv, num_heads, kv_len=kv_len, interpret=interpret),
+        (qkv,),
+    )
 
 
-def _attention_qkv_fused_bwd(num_heads, interpret, res, do):
+def _attention_qkv_fused_bwd(num_heads, kv_len, interpret, res, do):
     (qkv,) = res
-    return (_attention_qkv_pallas_bwd(qkv, do, num_heads, interpret=interpret),)
+    return (
+        _attention_qkv_pallas_bwd(
+            qkv, do, num_heads, kv_len=kv_len, interpret=interpret
+        ),
+    )
 
 
 _attention_qkv_fused.defvjp(_attention_qkv_fused_fwd, _attention_qkv_fused_bwd)
 
 
-def attention_qkv_xla(qkv: jax.Array, num_heads: int) -> jax.Array:
-    """Portable packed-qkv attention: unpack → attention_xla → repack."""
+def attention_qkv_xla(
+    qkv: jax.Array, num_heads: int, kv_len: int = 0
+) -> jax.Array:
+    """Portable packed-qkv attention: unpack → attention_xla → repack.
+
+    ``kv_len``: with a padded stream, keys/values beyond ``kv_len`` are
+    sliced off (equivalent to the Pallas kernel's -inf key mask); all
+    query rows still produce output rows.
+    """
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
     parts = qkv.reshape(b, s, 3, num_heads, dh)
     q, k, v = (jnp.transpose(parts[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    if kv_len and kv_len < s:
+        k = k[:, :, :kv_len]
+        v = v[:, :, :kv_len]
     o = attention_xla(q, k, v)
     return jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
 
@@ -378,6 +415,7 @@ def fused_attention_qkv(
     qkv: jax.Array,
     num_heads: int,
     *,
+    kv_len: int = 0,
     use_pallas: bool | None = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -400,8 +438,8 @@ def fused_attention_qkv(
     if interpret:
         use_pallas = True
     if use_pallas and qkv.shape[1] <= _MAX_FUSED_SEQ:
-        return _attention_qkv_fused(qkv, num_heads, interpret)
-    return attention_qkv_xla(qkv, num_heads)
+        return _attention_qkv_fused(qkv, num_heads, kv_len, interpret)
+    return attention_qkv_xla(qkv, num_heads, kv_len=kv_len)
 
 
 def fused_attention(

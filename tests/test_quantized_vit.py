@@ -106,3 +106,30 @@ def test_int8_vit_extraction_end_to_end(tiny_image_tree, tmp_path):
     assert q.embeddings.shape == f32.embeddings.shape
     cos = _cosine(f32.embeddings, q.embeddings)
     assert np.all(cos > 0.98), cos.min()
+
+
+def test_fused_qmlp_interpret_matches_unfused(vit_setup):
+    """The Pallas int8 MLP (ops/qmlp.py) must reproduce the unfused site
+    composition near-exactly: integer GEMM accumulation is exact, the
+    quantize/dequant/GELU elementwise ops are the same f32 code."""
+    from ssip_tpu.ops.qmlp import quantized_mlp, quantized_mlp_xla
+
+    _, _, _, qtree, _ = vit_setup
+    blk = qtree["blocks"][0]
+    d = blk["mlp_1"]["kernel"].shape[0]
+    rng = np.random.default_rng(23)
+    # 300 rows: exercises the ragged final row block (300 = 256 + 44)
+    y = jnp.asarray(rng.normal(size=(300, d)).astype(np.float32))
+
+    fused = quantized_mlp(y, blk, interpret=True)
+    ref = quantized_mlp_xla(y, blk)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+    # bf16 stream input (the int8 path's inter_dtype) must also agree
+    fused_bf = quantized_mlp(y.astype(jnp.bfloat16), blk, interpret=True)
+    ref_bf = quantized_mlp_xla(y.astype(jnp.bfloat16), blk)
+    np.testing.assert_allclose(
+        np.asarray(fused_bf), np.asarray(ref_bf), atol=1e-5, rtol=1e-5
+    )

@@ -368,3 +368,94 @@ def test_vit_tensor_parallel_step_matches_single_device():
     b = jax.tree_util.tree_leaves(tp_state.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_fused_attention_qkv_kv_len_masks_pad_keys():
+    """The flat-stream layout (models/vit.py) pads S 197→208 and relies on
+    kv_len masking: masked keys' probabilities underflow to exactly 0.0,
+    so real rows match the unpadded kernel to fp-reduction-order tolerance
+    (the PV dot groups its sum differently over 208 vs 197 terms), and
+    garbage pad rows must stay finite."""
+    from ssip_tpu.ops.attention import fused_attention_qkv
+
+    rng = np.random.default_rng(13)
+    s, s_pad, d, heads = 197, 208, 32, 2
+    qkv = rng.normal(size=(2, s_pad, 3 * d)).astype(np.float32)
+    qkv[:, s:] = 7.7  # garbage pad rows — must not leak into real rows
+
+    padded = fused_attention_qkv(
+        jnp.asarray(qkv), heads, kv_len=s, interpret=True
+    )
+    exact = fused_attention_qkv(jnp.asarray(qkv[:, :s]), heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(padded[:, :s]), np.asarray(exact), atol=1e-6, rtol=1e-5
+    )
+    assert np.isfinite(np.asarray(padded)).all()
+
+
+def test_fused_attention_qkv_kv_len_grads_match_unpadded():
+    """Backward through the padded kernel: real-row gradients must match
+    the unpadded kernel's, pad-KEY rows must receive zero gradient when
+    the cotangent is zero on pad rows (the flat ViT's situation — the
+    loss never reads pad rows)."""
+    from ssip_tpu.ops.attention import fused_attention_qkv
+
+    rng = np.random.default_rng(17)
+    s, s_pad, d, heads = 21, 32, 16, 2
+    qkv = jnp.asarray(rng.normal(size=(1, s_pad, 3 * d)), jnp.float32)
+    cot = np.zeros((1, s_pad, d), np.float32)
+    cot[:, :s] = rng.normal(size=(1, s, d))
+    cot = jnp.asarray(cot)
+
+    g_pad = jax.grad(
+        lambda x: jnp.sum(
+            fused_attention_qkv(x, heads, kv_len=s, interpret=True) * cot
+        )
+    )(qkv)
+    g_exact = jax.grad(
+        lambda x: jnp.sum(
+            fused_attention_qkv(x, heads, interpret=True) * cot[:, :s]
+        )
+    )(qkv[:, :s])
+    np.testing.assert_allclose(
+        np.asarray(g_pad[:, :s]), np.asarray(g_exact), atol=2e-6, rtol=1e-5
+    )
+    # pad rows: zero dq (cotangent is zero there), zero dk/dv (masked keys)
+    np.testing.assert_array_equal(np.asarray(g_pad[:, s:]), 0.0)
+
+
+def test_vit_flat_stream_matches_legacy_block_layout():
+    """The flat [B·S_pad, D] encoder must reproduce the 3-D per-block
+    layout to fp-reduction tolerance (same row math, pad rows discarded;
+    only dot-sum grouping differs)."""
+    model = MODEL_FACTORIES["vit_t16"](num_classes=None)
+    v = seeded_init_host(model, 3, (1, 32, 32, 3))
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    flat = model.apply(v, x)
+
+    # legacy composition: run the same params through 3-D EncoderBlocks
+    from ssip_tpu.models.vit import EncoderBlock, FusedLayerNorm, VIT_CONFIGS
+
+    cfg = VIT_CONFIGS["vit_t16"]
+    p = v["params"]
+    import flax.linen as nn
+
+    h = jax.lax.conv_general_dilated(
+        x, p["conv_proj"]["kernel"], (16, 16), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["conv_proj"]["bias"]
+    h = h.reshape(2, -1, cfg["hidden_dim"])
+    cls = jnp.broadcast_to(p["cls_token"], (2, 1, cfg["hidden_dim"]))
+    h = jnp.concatenate([cls, h], axis=1) + p["pos_embedding"]
+    for i in range(cfg["num_layers"]):
+        blk = EncoderBlock(
+            num_heads=cfg["num_heads"], mlp_dim=cfg["mlp_dim"]
+        )
+        h = blk.apply({"params": p[f"block{i}"]}, h)
+    ref = FusedLayerNorm(out_dtype=jnp.float32).apply(
+        {"params": p["ln"]}, h[:, 0].astype(jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(flat), np.asarray(ref), atol=5e-6, rtol=1e-4
+    )
