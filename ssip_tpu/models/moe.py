@@ -372,10 +372,18 @@ def _factory(name: str):
         num_classes: Optional[int] = None,
         compute_dtype: Any = jnp.float32,
         remat: bool = False,
+        num_experts: Optional[int] = None,
     ):
+        # ``num_experts`` override: the expert-count scaling axis
+        # (benchmarks/moe_scaling.py measures 8/16/32-expert variants —
+        # top-1 routing keeps per-token FLOPs constant while parameters
+        # scale linearly, the regime where the MoE pays)
+        kw = dict(cfg)
+        if num_experts is not None:
+            kw["num_experts"] = num_experts
         return MoEVisionTransformer(
             num_classes=num_classes, compute_dtype=compute_dtype,
-            remat=remat, **cfg,
+            remat=remat, **kw,
         )
 
     make.__name__ = name
