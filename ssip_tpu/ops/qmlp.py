@@ -43,6 +43,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _QMAX = 127.0
+_INV_SQRT2 = 0.7071067811865476
+# Abramowitz & Stegun 7.1.26 rational-polynomial erf: |error| ≤ 1.5e-7
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _erf_poly(z: jax.Array) -> jax.Array:
+    """f32 erf via A&S 7.1.26 (odd extension). Mosaic lowers neither
+    ``erf`` nor ``erfc`` (the primitives behind jax.nn.gelu/lax.erf), so
+    the kernel needs its own — exp/mul/add only, all VPU-supported."""
+    s = jnp.sign(z)
+    z = jnp.abs(z)
+    t = 1.0 / (1.0 + np.float32(_ERF_P) * z)
+    a0, a1, a2, a3, a4 = (np.float32(a) for a in _ERF_A)
+    poly = ((((a4 * t + a3) * t + a2) * t + a1) * t + a0) * t
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_erf(x: jax.Array) -> jax.Array:
+    """Erf-form GELU on the polynomial erf. Used by BOTH the kernel and
+    the XLA fallback so the two int8 paths stay op-for-op identical; the
+    ≤1.5e-7 erf error is far below the int8 requant step that follows
+    (the accuracy envelope vs the true-erf f32 chain is pinned in
+    tests/test_quantized_vit.py)."""
+    x = x.astype(jnp.float32)
+    return 0.5 * x * (1.0 + _erf_poly(x * np.float32(_INV_SQRT2)))
 # rows per grid step: 256×mlp_dim f32 temporaries + both int8 weight
 # matrices stay inside ~16 MB VMEM for every shipped config (ViT-B/16:
 # 2×[256,3072] f32 + 2.25+2.25 MB weights ≈ 11 MB)
@@ -62,7 +88,7 @@ def _qmlp_kernel(
         preferred_element_type=jnp.int32,
     )
     h = h32.astype(jnp.float32) * m1_ref[0] + b1_ref[0]
-    g = jax.nn.gelu(h, approximate=False)  # exact erf form, as the sites
+    g = _gelu_erf(h)
     gq = jnp.clip(jnp.round(g * inv2), -_QMAX, _QMAX).astype(jnp.int8)
     o32 = jax.lax.dot_general(
         gq, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -119,7 +145,7 @@ def quantized_mlp_xla(y: jax.Array, blk: dict) -> jax.Array:
     from ssip_tpu.models.quantized_vit import _qdense, _quant
 
     h = _qdense(_quant(y, blk["mlp_1"]["inv_in_scale"]), blk["mlp_1"])
-    g = jax.nn.gelu(h, approximate=False)
+    g = _gelu_erf(h)
     return _qdense(_quant(g, blk["mlp_2"]["inv_in_scale"]), blk["mlp_2"])
 
 
