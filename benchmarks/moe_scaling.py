@@ -139,11 +139,11 @@ def main() -> None:
         p = n_params(variables["params"])
         rows.append({
             "model": name, "experts": experts, "params_m": p / 1e6,
-            "embed_imgs_per_sec": er.value, "embed_spread": er.spread,
-            "train_steps_per_sec": tr.value, "train_spread": tr.spread,
+            "embed_imgs_per_sec": er.median, "embed_spread": er.spread,
+            "train_steps_per_sec": tr.median, "train_spread": tr.spread,
         })
-        print(f"{name}: {p/1e6:.1f}M params, embed {er.value:.0f} imgs/s "
-              f"(±{er.spread*50:.0f}%), train {tr.value:.1f} steps/s "
+        print(f"{name}: {p/1e6:.1f}M params, embed {er.median:.0f} imgs/s "
+              f"(±{er.spread*50:.0f}%), train {tr.median:.1f} steps/s "
               f"(±{tr.spread*50:.0f}%)", flush=True)
 
     dense = MODEL_FACTORIES["vit_s16"](num_classes=2, compute_dtype=jnp.bfloat16)
